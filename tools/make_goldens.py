@@ -1,0 +1,180 @@
+"""Generate golden parity fixtures from the torch reference at /root/reference.
+
+Run once (CPU): python tools/make_goldens.py
+Writes tests/goldens/*.npz containing tiny-config torch state dicts, inputs,
+and outputs. Tests then run the ullsam_tpu converter + models against these.
+The reference repo is only needed to (re)generate fixtures, not to run tests.
+"""
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+OUT = os.path.join(REPO, "tests", "goldens")
+
+sys.path.insert(0, REFERENCE)
+
+import numpy as np
+import torch
+
+torch.manual_seed(0)
+
+
+def state_dict_np(module, prefix=""):
+    return {prefix + k: v.detach().float().numpy()
+            for k, v in module.state_dict().items()}
+
+
+def randomize_zeros(module):
+    """Give zero-initialized params (pos_embed, rel_pos) random values so the
+    parity test actually exercises those code paths."""
+    with torch.no_grad():
+        for name, p in module.named_parameters():
+            if torch.all(p == 0):
+                p.normal_(0, 0.02)
+
+
+def save(name, **arrays):
+    os.makedirs(OUT, exist_ok=True)
+    path = os.path.join(OUT, name + ".npz")
+    np.savez_compressed(path, **arrays)
+    total = sum(a.size * a.itemsize for a in arrays.values())
+    print(f"wrote {path} ({len(arrays)} arrays, {total/1e6:.2f} MB)")
+
+
+def make_vit_tiny():
+    from functools import partial
+    from modeling.image_encoder import ImageEncoderViT
+
+    torch.manual_seed(1)
+    m = ImageEncoderViT(
+        img_size=32, patch_size=8, embed_dim=32, depth=3, num_heads=2,
+        mlp_ratio=2.0, out_chans=16, qkv_bias=True,
+        norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+        use_abs_pos=True, use_rel_pos=True, window_size=2,
+        global_attn_indexes=(1,),
+    ).eval()
+    randomize_zeros(m)
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        y = m(x)
+    save("vit_tiny",
+         x=x.detach().numpy(), y=y.detach().numpy(),
+         **state_dict_np(m, "image_encoder."))
+
+
+def make_prompt_encoder_tiny():
+    from modeling.prompt_encoder import PromptEncoder
+
+    torch.manual_seed(2)
+    m = PromptEncoder(embed_dim=32, image_embedding_size=(8, 8),
+                      input_image_size=(64, 64), mask_in_chans=8).eval()
+    coords = torch.rand(2, 3, 2) * 64
+    labels = torch.tensor([[1, 0, -1], [1, 1, 0]])
+    boxes = torch.tensor([[4.0, 6.0, 40.0, 50.0], [0.0, 0.0, 63.0, 63.0]])
+    masks = torch.randn(2, 1, 32, 32)
+    llm_hidden = torch.randn(2, 32, 8, 8)
+    with torch.no_grad():
+        sp_pts, dn_pts = m(points=(coords, labels), boxes=None, masks=None)
+        sp_pb, dn_pb = m(points=(coords, labels), boxes=boxes, masks=None)
+        sp_m, dn_m = m(points=None, boxes=None, masks=masks)
+        sp_llm, dn_llm = m(points=(coords, labels), boxes=None, masks=None,
+                           llm_hidden_states=llm_hidden)
+        dense_pe = m.get_dense_pe()
+    save("prompt_encoder_tiny",
+         coords=coords.detach().numpy(), labels=labels.detach().numpy(), boxes=boxes.detach().numpy(),
+         masks=masks.detach().numpy(), llm_hidden=llm_hidden.detach().numpy(),
+         sparse_points=sp_pts.detach().numpy(), dense_points=dn_pts.detach().numpy(),
+         sparse_pb=sp_pb.detach().numpy(), dense_pb=dn_pb.detach().numpy(),
+         sparse_mask=sp_m.detach().numpy(), dense_mask=dn_m.detach().numpy(),
+         sparse_llm=sp_llm.detach().numpy(), dense_llm=dn_llm.detach().numpy(),
+         dense_pe=dense_pe.detach().numpy(),
+         **state_dict_np(m, "prompt_encoder."))
+
+
+def make_mask_decoder_tiny():
+    from modeling.mask_decoder import MaskDecoder
+    from modeling.transformer import TwoWayTransformer
+
+    torch.manual_seed(3)
+    m = MaskDecoder(
+        transformer_dim=32,
+        transformer=TwoWayTransformer(depth=2, embedding_dim=32, mlp_dim=64,
+                                      num_heads=2),
+        num_multimask_outputs=3, iou_head_depth=3, iou_head_hidden_dim=16,
+    ).eval()
+    img = torch.randn(1, 32, 8, 8)
+    pe = torch.randn(1, 32, 8, 8)
+    sparse = torch.randn(2, 3, 32)
+    dense = torch.randn(2, 32, 8, 8)
+    with torch.no_grad():
+        masks_multi, iou_multi = m(img, pe, sparse, dense, multimask_output=True)
+        masks_single, iou_single = m(img, pe, sparse, dense, multimask_output=False)
+    save("mask_decoder_tiny",
+         img=img.detach().numpy(), pe=pe.detach().numpy(), sparse=sparse.detach().numpy(),
+         dense=dense.detach().numpy(),
+         masks_multi=masks_multi.detach().numpy(), iou_multi=iou_multi.detach().numpy(),
+         masks_single=masks_single.detach().numpy(), iou_single=iou_single.detach().numpy(),
+         **state_dict_np(m, "mask_decoder."))
+
+
+def make_rel_pos_interp():
+    from modeling.image_encoder import get_rel_pos
+
+    torch.manual_seed(4)
+    rel_pos = torch.randn(5, 8)
+    out = get_rel_pos(4, 4, rel_pos)  # needs length 7 -> interpolation path
+    out2 = get_rel_pos(4, 8, rel_pos)  # q != k scaling path
+    save("rel_pos_interp", rel_pos=rel_pos.detach().numpy(), out_44=out.detach().numpy(),
+         out_48=out2.detach().numpy())
+
+
+def make_sam_micro():
+    """Tiny end-to-end Sam: encoder + prompt + decoder on a 64px image."""
+    from functools import partial
+    from modeling.image_encoder import ImageEncoderViT
+    from modeling.prompt_encoder import PromptEncoder
+    from modeling.mask_decoder import MaskDecoder
+    from modeling.transformer import TwoWayTransformer
+    from modeling.sam import Sam
+
+    torch.manual_seed(5)
+    sam = Sam(
+        image_encoder=ImageEncoderViT(
+            img_size=64, patch_size=8, embed_dim=32, depth=2, num_heads=2,
+            mlp_ratio=2.0, out_chans=32, qkv_bias=True,
+            norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+            use_abs_pos=True, use_rel_pos=True, window_size=2,
+            global_attn_indexes=(1,)),
+        prompt_encoder=PromptEncoder(
+            embed_dim=32, image_embedding_size=(8, 8),
+            input_image_size=(64, 64), mask_in_chans=8),
+        mask_decoder=MaskDecoder(
+            transformer_dim=32,
+            transformer=TwoWayTransformer(depth=2, embedding_dim=32,
+                                          mlp_dim=64, num_heads=2),
+            num_multimask_outputs=3, iou_head_depth=3, iou_head_hidden_dim=16),
+    ).eval()
+    randomize_zeros(sam)
+    image = torch.rand(3, 64, 64) * 255.0
+    coords = torch.tensor([[[20.0, 30.0]]])
+    labels = torch.tensor([[1]])
+    with torch.no_grad():
+        out = sam([{"image": image, "original_size": (48, 60),
+                    "point_coords": coords, "point_labels": labels}],
+                  multimask_output=True)
+    save("sam_micro",
+         image=image.detach().numpy(), coords=coords.detach().numpy(), labels=labels.detach().numpy(),
+         low_res_logits=out[0]["low_res_logits"].detach().numpy(),
+         iou_predictions=out[0]["iou_predictions"].detach().numpy(),
+         masks=out[0]["masks"].detach().numpy().astype(np.uint8),
+         **state_dict_np(sam))
+
+
+if __name__ == "__main__":
+    make_vit_tiny()
+    make_prompt_encoder_tiny()
+    make_mask_decoder_tiny()
+    make_rel_pos_interp()
+    make_sam_micro()

@@ -1,0 +1,168 @@
+"""SAM ViTDet image encoder, TPU-native.
+
+Behavioral reference: /root/reference/modeling/image_encoder.py (ViT with
+windowed attention except at global layers, decomposed relative-position
+bias, conv neck to 256ch). Re-designed for XLA: NHWC layouts, static window
+partition as reshape/transpose, rel-pos gathers folded to trace-time
+constants, attention pluggable (XLA einsum fallback or Pallas flash kernel).
+
+Input:  [B, img, img, 3]  (NHWC, already normalized)
+Output: [B, grid, grid, out_chans]  (NHWC; reference returns NCHW)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ullsam_tpu.core.config import ViTConfig
+from ullsam_tpu.ops import layers as L
+from ullsam_tpu.ops import attention as A
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _attn_init(key, cfg: ViTConfig, input_size: Tuple[int, int]) -> dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p = {
+        "qkv": L.linear_init(k1, cfg.embed_dim, cfg.embed_dim * 3,
+                             use_bias=cfg.qkv_bias),
+        "proj": L.linear_init(k2, cfg.embed_dim, cfg.embed_dim),
+    }
+    if cfg.use_rel_pos:
+        # zero-init per reference (rel_pos_zero_init=True, build_sam.py:76)
+        p["rel_pos_h"] = jnp.zeros((2 * input_size[0] - 1, cfg.head_dim))
+        p["rel_pos_w"] = jnp.zeros((2 * input_size[1] - 1, cfg.head_dim))
+    return p
+
+
+def _block_init(key, cfg: ViTConfig, window_size: int) -> dict:
+    k1, k2 = jax.random.split(key)
+    input_size = ((cfg.grid_size, cfg.grid_size) if window_size == 0
+                  else (window_size, window_size))
+    return {
+        "norm1": L.layer_norm_init(cfg.embed_dim),
+        "attn": _attn_init(k1, cfg, input_size),
+        "norm2": L.layer_norm_init(cfg.embed_dim),
+        "mlp": L.mlp_block_init(k2, cfg.embed_dim,
+                                int(cfg.embed_dim * cfg.mlp_ratio)),
+    }
+
+
+def image_encoder_init(key, cfg: ViTConfig) -> dict:
+    keys = jax.random.split(key, cfg.depth + 3)
+    params = {
+        "patch_embed": L.conv_init(keys[0], cfg.in_chans, cfg.embed_dim,
+                                   (cfg.patch_size, cfg.patch_size)),
+        "blocks": [
+            _block_init(keys[1 + i], cfg,
+                        0 if i in cfg.global_attn_indexes else cfg.window_size)
+            for i in range(cfg.depth)
+        ],
+        "neck": {
+            "conv1": L.conv_init(keys[-2], cfg.embed_dim, cfg.out_chans, (1, 1),
+                                 use_bias=False),
+            "ln1": L.layer_norm_init(cfg.out_chans),
+            "conv2": L.conv_init(keys[-1], cfg.out_chans, cfg.out_chans, (3, 3),
+                                 use_bias=False),
+            "ln2": L.layer_norm_init(cfg.out_chans),
+        },
+    }
+    if cfg.use_abs_pos:
+        params["pos_embed"] = jnp.zeros(
+            (1, cfg.grid_size, cfg.grid_size, cfg.embed_dim))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+
+def window_partition(x: Array, window_size: int) -> Tuple[Array, Tuple[int, int]]:
+    """[B,H,W,C] -> [B*nw, ws, ws, C] with zero pad to a window multiple."""
+    B, H, W, C = x.shape
+    pad_h = (window_size - H % window_size) % window_size
+    pad_w = (window_size - W % window_size) % window_size
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // window_size, window_size, Wp // window_size,
+                  window_size, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window_size, window_size, C)
+    return x, (Hp, Wp)
+
+
+def window_unpartition(windows: Array, window_size: int,
+                       pad_hw: Tuple[int, int], hw: Tuple[int, int]) -> Array:
+    Hp, Wp = pad_hw
+    H, W = hw
+    C = windows.shape[-1]
+    B = windows.shape[0] // (Hp * Wp // window_size // window_size)
+    x = windows.reshape(B, Hp // window_size, Wp // window_size,
+                        window_size, window_size, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+    return x[:, :H, :W, :]
+
+
+def _vit_attention(params: dict, x: Array, cfg: ViTConfig) -> Array:
+    """Multi-head self-attention over an [B,H,W,C] token grid.
+
+    Heads are folded into the batch dim ([B*nh, N, hd]) so the decomposed
+    rel-pos einsums apply per-head exactly as the reference
+    (image_encoder.py:224-240).
+    """
+    B, H, W, C = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    qkv = L.linear(params["qkv"], x)  # [B,H,W,3C]
+    qkv = qkv.reshape(B, H * W, 3, nh, hd)
+    qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * nh, H * W, hd)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    bias = None
+    if cfg.use_rel_pos:
+        bias = A.decomposed_rel_pos_bias(
+            q, params["rel_pos_h"], params["rel_pos_w"], (H, W), (H, W))
+
+    out = A.attention(q, k, v, bias=bias, scale=hd ** -0.5)
+    out = out.reshape(B, nh, H, W, hd).transpose(0, 2, 3, 1, 4).reshape(B, H, W, C)
+    return L.linear(params["proj"], out)
+
+
+def _block_apply(params: dict, x: Array, cfg: ViTConfig, window_size: int) -> Array:
+    shortcut = x
+    x = L.layer_norm(params["norm1"], x, eps=cfg.ln_eps)
+    if window_size > 0:
+        H, W = x.shape[1], x.shape[2]
+        x, pad_hw = window_partition(x, window_size)
+    x = _vit_attention(params["attn"], x, cfg)
+    if window_size > 0:
+        x = window_unpartition(x, window_size, pad_hw, (H, W))
+    x = shortcut + x
+    return x + L.mlp_block(params["mlp"], L.layer_norm(params["norm2"], x,
+                                                       eps=cfg.ln_eps))
+
+
+def image_encoder_apply(params: dict, x: Array, cfg: ViTConfig) -> Array:
+    """x: [B, img, img, 3] NHWC -> [B, grid, grid, out_chans] NHWC."""
+    x = L.conv2d(params["patch_embed"], x,
+                 stride=(cfg.patch_size, cfg.patch_size))  # [B, g, g, C]
+    if cfg.use_abs_pos:
+        x = x + params["pos_embed"].astype(x.dtype)
+    for i, blk in enumerate(params["blocks"]):
+        ws = 0 if i in cfg.global_attn_indexes else cfg.window_size
+        x = _block_apply(blk, x, cfg, ws)
+    # neck: 1x1 conv -> LN(channel) -> 3x3 conv(same) -> LN(channel)
+    n = params["neck"]
+    x = L.conv2d(n["conv1"], x)
+    x = L.layer_norm(n["ln1"], x, eps=1e-6)
+    x = L.conv2d(n["conv2"], x, padding="SAME")
+    x = L.layer_norm(n["ln2"], x, eps=1e-6)
+    return x

@@ -1,0 +1,110 @@
+"""Composed SAM model: init, preprocess, predict, postprocess.
+
+Behavioral reference: /root/reference/modeling/sam.py. The reference's
+forward loops over images in Python (sam.py:100-131); here prediction is a
+single jit-friendly function over fixed-shape batches, and multi-prompt
+sweeps use vmap (the AMG path builds on this).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ullsam_tpu.core.config import SamConfig
+from ullsam_tpu.models.sam import image_encoder as IE
+from ullsam_tpu.models.sam import prompt_encoder as PE
+from ullsam_tpu.models.sam import mask_decoder as MD
+
+Array = jax.Array
+
+
+def sam_init(key, cfg: SamConfig) -> dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "image_encoder": IE.image_encoder_init(k1, cfg.vit),
+        "prompt_encoder": PE.prompt_encoder_init(k2, cfg.prompt_encoder),
+        "mask_decoder": MD.mask_decoder_init(k3, cfg.mask_decoder),
+    }
+
+
+def preprocess(images: Array, cfg: SamConfig) -> Array:
+    """Normalize (ImageNet mean/std) and pad bottom/right to img_size.
+
+    images: [B, H, W, 3] NHWC float (0-255 scale). Reference: sam.py:164-174.
+    """
+    mean = jnp.asarray(cfg.pixel_mean, images.dtype)
+    std = jnp.asarray(cfg.pixel_std, images.dtype)
+    x = (images - mean) / std
+    H, W = x.shape[1], x.shape[2]
+    size = cfg.vit.img_size
+    return jnp.pad(x, ((0, 0), (0, size - H), (0, size - W), (0, 0)))
+
+
+def encode_image(params: dict, cfg: SamConfig, images: Array) -> Array:
+    """[B, 1024, 1024, 3] -> [B, 64, 64, 256] NHWC."""
+    return IE.image_encoder_apply(params["image_encoder"], images, cfg.vit)
+
+
+def decode_masks(
+    params: dict,
+    cfg: SamConfig,
+    image_embedding: Array,
+    points: Optional[Tuple[Array, Array]] = None,
+    boxes: Optional[Array] = None,
+    mask_inputs: Optional[Array] = None,
+    llm_hidden: Optional[Array] = None,
+    multimask_output: bool = True,
+) -> Tuple[Array, Array]:
+    """Prompt-encode + mask-decode for one image embedding.
+
+    image_embedding: [1, 64, 64, 256]; prompts batched over the first axis.
+    Returns (low-res mask logits [B, M, 256, 256], iou_pred [B, M]).
+    """
+    sparse, dense = PE.prompt_encoder_apply(
+        params["prompt_encoder"], cfg.prompt_encoder,
+        points=points, boxes=boxes, masks=mask_inputs, llm_hidden=llm_hidden)
+    image_pe = PE.get_dense_pe(params["prompt_encoder"], cfg.prompt_encoder)
+    return MD.mask_decoder_apply(
+        params["mask_decoder"], cfg.mask_decoder,
+        image_embedding, image_pe, sparse, dense,
+        multimask_output=multimask_output)
+
+
+def postprocess_masks(masks: Array, input_size: Tuple[int, int],
+                      original_size: Tuple[int, int], cfg: SamConfig) -> Array:
+    """Upscale low-res logits to original image size (sam.py:133-162).
+
+    masks: [B, M, 256, 256] -> bilinear to img_size, crop the pad, bilinear
+    to original_size. Half-pixel bilinear == torch align_corners=False.
+    """
+    B, M = masks.shape[:2]
+    size = cfg.vit.img_size
+    up = jax.image.resize(masks, (B, M, size, size), method="bilinear")
+    up = up[..., :input_size[0], :input_size[1]]
+    return jax.image.resize(
+        up, (B, M, original_size[0], original_size[1]), method="bilinear")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "multimask_output"))
+def sam_point_predict(params: dict, cfg: SamConfig, image: Array,
+                      point_coords: Array, point_labels: Array,
+                      multimask_output: bool = True
+                      ) -> Tuple[Array, Array]:
+    """End-to-end: preprocessed image [1,S,S,3] + point prompts -> masks.
+
+    point_coords: [B, N, 2] in input-frame pixels; labels [B, N].
+    Returns (mask logits at full res [B, M, S, S], iou_pred [B, M]).
+    """
+    emb = encode_image(params, cfg, image)
+    low_res, iou = decode_masks(params, cfg, emb,
+                                points=(point_coords, point_labels),
+                                multimask_output=multimask_output)
+    size = cfg.vit.img_size
+    B, M = low_res.shape[:2]
+    masks = jax.image.resize(low_res.astype(jnp.float32),
+                             (B, M, size, size), method="bilinear")
+    return masks, iou

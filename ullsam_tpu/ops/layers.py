@@ -1,0 +1,217 @@
+"""Core NN building blocks as pure functions over param pytrees.
+
+Every module here is a pair of functions:
+  * ``<name>_init(key, ...) -> params``   (plain nested dict of jnp arrays)
+  * ``<name>(params, x, ...) -> y``       (pure apply)
+
+Layout conventions (TPU-first):
+  * Linear kernels are stored [in, out] (jnp.dot(x, k) — no transpose at
+    apply time; the torch converter transposes once at load).
+  * Convs take/return NHWC; kernels are HWIO.
+  * Norm statistics are computed in float32 and cast back.
+
+Reference semantics mirrored (behavior, not code):
+  * MLPBlock (GELU, exact erf form): /root/reference/modeling/common.py:13-26
+  * LayerNorm2d (channelwise norm): /root/reference/modeling/common.py:31-43.
+    In NHWC the channel axis is last, so it reduces to plain LayerNorm.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# ---------------------------------------------------------------------------
+# initializers (match torch defaults so from-scratch training behaves alike)
+# ---------------------------------------------------------------------------
+
+
+def _uniform(key, shape, bound, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def linear_init(key, in_dim: int, out_dim: int, use_bias: bool = True,
+                dtype=jnp.float32) -> dict:
+    """torch nn.Linear default init: kaiming-uniform(a=sqrt(5)) ~ U(+-1/sqrt(in))."""
+    kkey, bkey = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    p = {"kernel": _uniform(kkey, (in_dim, out_dim), bound, dtype)}
+    if use_bias:
+        p["bias"] = _uniform(bkey, (out_dim,), bound, dtype)
+    return p
+
+
+def linear(params: dict, x: Array, *, dtype=None) -> Array:
+    kernel = params["kernel"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+    else:
+        kernel = kernel.astype(x.dtype)
+    y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def embedding_init(key, num: int, dim: int, dtype=jnp.float32) -> dict:
+    return {"embedding": jax.random.normal(key, (num, dim), dtype)}
+
+
+def embedding_lookup(params: dict, ids: Array) -> Array:
+    return jnp.take(params["embedding"], ids, axis=0)
+
+
+def conv_init(key, in_chans: int, out_chans: int,
+              kernel_size: Tuple[int, int], use_bias: bool = True,
+              dtype=jnp.float32) -> dict:
+    kkey, bkey = jax.random.split(key)
+    fan_in = in_chans * kernel_size[0] * kernel_size[1]
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {"kernel": _uniform(kkey, kernel_size + (in_chans, out_chans), bound, dtype)}
+    if use_bias:
+        p["bias"] = _uniform(bkey, (out_chans,), bound, dtype)
+    return p
+
+
+def conv2d(params: dict, x: Array, *, stride: Tuple[int, int] = (1, 1),
+           padding="VALID") -> Array:
+    """NHWC conv with HWIO kernel."""
+    kernel = params["kernel"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=stride, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def conv_transpose2d(params: dict, x: Array, *, stride: Tuple[int, int]) -> Array:
+    """NHWC transposed conv for the kernel_size == stride case.
+
+    Both SAM uses (mask_decoder.py:53-58 output upscaling) have k == s == 2,
+    where the transposed conv has no output overlap and reduces to a per-
+    pixel matmul + block expand: out[si+di, sj+dj, o] = sum_c x[i,j,c] *
+    W[di,dj,c,o]. Kernel stored HWIO ([kh, kw, in, out]).
+    """
+    kh, kw = stride
+    kernel = params["kernel"].astype(x.dtype)
+    assert kernel.shape[:2] == (kh, kw), "conv_transpose2d requires k == s"
+    B, H, W, C = x.shape
+    O = kernel.shape[-1]
+    y = jnp.einsum("bhwc,klco->bhkwlo", x, kernel,
+                   preferred_element_type=jnp.float32)
+    y = y.reshape(B, H * kh, W * kw, O)
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# norms
+# ---------------------------------------------------------------------------
+
+
+def layer_norm_init(dim: int, dtype=jnp.float32) -> dict:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(params: dict, x: Array, *, eps: float = 1e-6) -> Array:
+    """LayerNorm over the last axis; statistics in fp32.
+
+    Also serves as the reference's LayerNorm2d (common.py:31-43) since our
+    feature maps are NHWC with channels last.
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def layer_norm_noparam(x: Array, *, eps: float = 1e-5) -> Array:
+    """F.layer_norm with no affine params (prompt_encoder.py:142-145)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def rms_norm_init(dim: int, dtype=jnp.float32) -> dict:
+    return {"scale": jnp.ones((dim,), dtype)}
+
+
+def rms_norm(params: dict, x: Array, *, eps: float = 1e-5) -> Array:
+    """RMSNorm in fp32, cast back (modeling_internlm2.py:129-143 semantics)."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    return (y * params["scale"].astype(jnp.float32)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# activations / MLPs
+# ---------------------------------------------------------------------------
+
+
+def gelu(x: Array) -> Array:
+    """Exact (erf) GELU — torch nn.GELU() default, used throughout SAM."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def mlp_block_init(key, dim: int, hidden: int, dtype=jnp.float32) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": linear_init(k1, dim, hidden, dtype=dtype),
+        "fc2": linear_init(k2, hidden, dim, dtype=dtype),
+    }
+
+
+def mlp_block(params: dict, x: Array, act=gelu) -> Array:
+    """Linear -> act -> Linear (common.py:13-26)."""
+    return linear(params["fc2"], act(linear(params["fc1"], x)))
+
+
+def mlp_stack_init(key, dims: Sequence[int], dtype=jnp.float32) -> dict:
+    """N-layer ReLU MLP (mask_decoder.py:154-176 hypernetwork/IoU head)."""
+    keys = jax.random.split(key, len(dims) - 1)
+    return {
+        "layers": [
+            linear_init(k, dims[i], dims[i + 1], dtype=dtype)
+            for i, k in enumerate(keys)
+        ]
+    }
+
+
+def mlp_stack(params: dict, x: Array, *, sigmoid_output: bool = False) -> Array:
+    layers = params["layers"]
+    for i, lp in enumerate(layers):
+        x = linear(lp, x)
+        if i < len(layers) - 1:
+            x = jax.nn.relu(x)
+    if sigmoid_output:
+        x = jax.nn.sigmoid(x)
+    return x
+
+
+def swiglu_init(key, dim: int, hidden: int, dtype=jnp.float32) -> dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "w1": linear_init(k1, dim, hidden, use_bias=False, dtype=dtype),
+        "w3": linear_init(k2, dim, hidden, use_bias=False, dtype=dtype),
+        "w2": linear_init(k3, hidden, dim, use_bias=False, dtype=dtype),
+    }
+
+
+def swiglu(params: dict, x: Array) -> Array:
+    """SwiGLU MLP: w2(silu(w1 x) * w3 x) (modeling_internlm2.py:250-264)."""
+    return linear(params["w2"],
+                  jax.nn.silu(linear(params["w1"], x)) * linear(params["w3"], x))
