@@ -172,9 +172,97 @@ def make_sam_micro():
          **state_dict_np(sam))
 
 
+
+
+def make_internlm2_tiny():
+    """Tiny InternLM2: padded-batch forward, hidden states, greedy generate,
+    and RoPE-scaling variants."""
+    from modeling.configuration_internlm2 import InternLM2Config as RefCfg
+    from modeling.modeling_internlm2 import InternLM2ForCausalLM
+
+    torch.manual_seed(6)
+
+    def build(rope_scaling=None):
+        cfg = RefCfg(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=32, bias=False, tie_word_embeddings=False,
+            rms_norm_eps=1e-5,
+            rope_theta=10000.0, rope_scaling=rope_scaling,
+            attn_implementation="eager", torch_dtype="float32",
+            pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        )
+        m = InternLM2ForCausalLM(cfg).float().eval()
+        return m
+
+    m = build()
+    input_ids = torch.tensor([[5, 9, 11, 42, 77, 3, 8, 2],
+                              [7, 23, 55, 4, 0, 0, 0, 0]])
+    attn = torch.tensor([[1] * 8, [1, 1, 1, 1, 0, 0, 0, 0]])
+    with torch.no_grad():
+        out = m(input_ids=input_ids, attention_mask=attn,
+                output_hidden_states=True)
+    hs = torch.stack(out.hidden_states, 0)  # [L+1, B, S, H]
+
+    # greedy generate with LEFT padding (batch_chat path,
+    # modeling_internvl_sam.py:370)
+    left_ids = torch.tensor([[0, 0, 5, 9, 11, 42], [7, 23, 55, 4, 9, 13]])
+    left_attn = torch.tensor([[0, 0, 1, 1, 1, 1], [1] * 6])
+    # manual greedy loop (installed transformers lacks GenerationMixin on
+    # custom models); mirrors HF generate position-id semantics
+    with torch.no_grad():
+        cur_attn = left_attn.clone()
+        pos = (cur_attn.cumsum(-1) - 1).clamp(min=0)
+        out_g = m(input_ids=left_ids, attention_mask=cur_attn,
+                  position_ids=pos, use_cache=True)
+        past = out_g.past_key_values
+        tok = out_g.logits[:, -1].argmax(-1)
+        toks = [tok]
+        for _ in range(7):
+            cur_attn = torch.cat(
+                [cur_attn, torch.ones(cur_attn.shape[0], 1, dtype=cur_attn.dtype)], 1)
+            pos_new = (cur_attn.sum(-1, keepdim=True) - 1).long()
+            out_g = m(input_ids=tok[:, None], attention_mask=cur_attn,
+                      position_ids=pos_new, past_key_values=past,
+                      use_cache=True)
+            past = out_g.past_key_values
+            tok = out_g.logits[:, -1].argmax(-1)
+            toks.append(tok)
+    gen_new = torch.stack(toks, 1)
+
+    # rope scaling variants (forward only, no padding)
+    ids2 = torch.tensor([[5, 9, 11, 42, 77, 3, 8, 2]])
+    outs = {}
+    for name, rs in [("linear", {"type": "linear", "factor": 2.0}),
+                     ("dynamic", {"type": "dynamic", "factor": 2.0})]:
+        torch.manual_seed(6)
+        m2 = build(rope_scaling=rs)
+        # force the NTK path by exceeding max_position_embeddings
+        if name == "dynamic":
+            m2.model.layers[0].attention.max_position_embeddings = 4
+            for lyr in m2.model.layers:
+                lyr.attention.max_position_embeddings = 4
+                lyr.attention.config.max_position_embeddings = 4
+                lyr.attention._init_rope()
+        with torch.no_grad():
+            outs[name] = m2(input_ids=ids2).logits
+
+    save("internlm2_tiny",
+         input_ids=input_ids.numpy(), attention_mask=attn.numpy(),
+         logits=out.logits.detach().numpy(),
+         hidden_states=hs.detach().numpy(),
+         left_ids=left_ids.numpy(), left_attn=left_attn.numpy(),
+         gen_new=gen_new.numpy(),
+         ids2=ids2.numpy(),
+         logits_linear=outs["linear"].detach().numpy(),
+         logits_dynamic=outs["dynamic"].detach().numpy(),
+         **state_dict_np(m))
+
+
 if __name__ == "__main__":
     make_vit_tiny()
     make_prompt_encoder_tiny()
     make_mask_decoder_tiny()
     make_rel_pos_interp()
     make_sam_micro()
+    make_internlm2_tiny()

@@ -127,6 +127,7 @@ class InternLM2Config:
     num_attention_heads: int = 16
     num_key_value_heads: int = 8
     max_position_embeddings: int = 32768
+    bias: bool = False  # wqkv/wo bias (configuration_internlm2.py:94)
     rms_norm_eps: float = 1e-5
     rope_theta: float = 1000000.0
     rope_scaling_type: Optional[str] = None  # None | "linear" | "dynamic"

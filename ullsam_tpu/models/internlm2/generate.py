@@ -1,0 +1,128 @@
+"""Autoregressive generation: jitted prefill + lax.while_loop decode.
+
+Replaces the reference's HF sampling loop with per-step tensor-concat KV
+cache (modeling_internlm2.py:1112-1149, :383-388) with a fixed-shape cache
+and an on-device while loop that exits early once every row hits EOS.
+
+Logit warpers (temperature -> top-k -> top-p) follow HF semantics so
+sampled outputs are comparable for the same random draws.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ullsam_tpu.core.config import InternLM2Config
+from ullsam_tpu.models.internlm2.model import (
+    KVCache, embed_tokens, init_cache, internlm2_decode_step,
+    internlm2_prefill)
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 256
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: int = 0          # 0 = disabled
+    top_p: float = 1.0      # 1.0 = disabled
+    eos_token_id: int = 2
+    pad_token_id: int = 2
+
+
+def apply_warpers(logits: Array, gen: GenerationConfig) -> Array:
+    """temperature -> top-k -> top-p, HF ordering. logits [B, V] fp32."""
+    logits = logits.astype(jnp.float32)
+    if gen.temperature != 1.0:
+        logits = logits / gen.temperature
+    if gen.top_k > 0:
+        kth = jax.lax.top_k(logits, gen.top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if gen.top_p < 1.0:
+        sorted_idx = jnp.argsort(-logits, axis=-1)
+        sorted_logits = jnp.take_along_axis(logits, sorted_idx, axis=-1)
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep_sorted = (cum - probs) < gen.top_p  # always keeps the top token
+        keep = jnp.zeros_like(keep_sorted)
+        keep = keep.at[jnp.arange(logits.shape[0])[:, None], sorted_idx].set(
+            keep_sorted)
+        logits = jnp.where(keep, logits, -jnp.inf)
+    return logits
+
+
+def sample_token(logits: Array, gen: GenerationConfig, rng: Array) -> Array:
+    """[B, V] -> [B] token ids."""
+    if not gen.do_sample:
+        return jnp.argmax(logits, axis=-1)
+    warped = apply_warpers(logits, gen)
+    return jax.random.categorical(rng, warped, axis=-1)
+
+
+def last_valid_index(attention_mask: Array) -> Array:
+    """Index of the last 1 in each row of a [B, S] mask."""
+    S = attention_mask.shape[-1]
+    return S - 1 - jnp.argmax(attention_mask[:, ::-1], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "gen", "max_len"))
+def generate(params: dict, cfg: InternLM2Config, gen: GenerationConfig,
+             inputs_embeds: Array, attention_mask: Array,
+             rng: Optional[Array] = None,
+             max_len: Optional[int] = None) -> Tuple[Array, Array]:
+    """Generate up to gen.max_new_tokens continuation tokens.
+
+    inputs_embeds: [B, S, H] (callers scatter image embeddings in before
+    calling — the fusion model path); attention_mask: [B, S].
+    Returns (tokens [B, max_new_tokens] padded with pad_token_id, lengths [B]).
+    """
+    B, S, H = inputs_embeds.shape
+    if max_len is None:
+        max_len = S + gen.max_new_tokens
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    cache = init_cache(cfg, B, max_len, dtype=inputs_embeds.dtype)
+    out, cache = internlm2_prefill(params, cfg, inputs_embeds,
+                                   attention_mask, cache)
+    idx = last_valid_index(attention_mask)
+    first_logits = out["logits"][jnp.arange(B), idx]  # [B, V]
+
+    rng, step_rng = jax.random.split(rng)
+    tok0 = sample_token(first_logits, gen, step_rng)
+    done0 = tok0 == gen.eos_token_id
+    buf = jnp.full((B, gen.max_new_tokens), gen.pad_token_id, jnp.int32)
+    buf = buf.at[:, 0].set(tok0.astype(jnp.int32))
+
+    def cond(state):
+        step, _, _, done, _, _ = state
+        return jnp.logical_and(step < gen.max_new_tokens,
+                               jnp.logical_not(jnp.all(done)))
+
+    def body(state):
+        step, buf, tok, done, cache, rng = state
+        emb = embed_tokens(params, tok)[:, None, :].astype(inputs_embeds.dtype)
+        logits, cache = internlm2_decode_step(params, cfg, emb, cache)
+        rng, step_rng = jax.random.split(rng)
+        nxt = sample_token(logits, gen, step_rng).astype(jnp.int32)
+        nxt = jnp.where(done, gen.pad_token_id, nxt)
+        buf = buf.at[:, step].set(nxt)
+        done = jnp.logical_or(done, nxt == gen.eos_token_id)
+        return step + 1, buf, nxt, done, cache, rng
+
+    state = (jnp.asarray(1, jnp.int32), buf, tok0.astype(jnp.int32), done0,
+             cache, rng)
+    _, buf, _, done, _, _ = jax.lax.while_loop(cond, body, state)
+
+    is_eos = buf == gen.eos_token_id
+    any_eos = jnp.any(is_eos, axis=-1)
+    lengths = jnp.where(any_eos,
+                        jnp.argmax(is_eos, axis=-1) + 1,
+                        gen.max_new_tokens).astype(jnp.int32)
+    return buf, lengths

@@ -1,0 +1,316 @@
+"""InternLM2 decoder-only LLM, TPU-native.
+
+Behavioral reference: /root/reference/modeling/modeling_internlm2.py
+(RMSNorm fp32, RoPE w/ linear+dynamic-NTK scaling, GQA via fused wqkv
+packing, SwiGLU MLP, fp32 softmax, untied output head).
+
+TPU-first redesign, not a translation:
+  * Layer params are stacked along a leading layer axis and the decoder is
+    a single lax.scan — one compile of one layer body instead of 24 unrolls.
+  * KV cache is preallocated fixed-shape [L, B, max_len, n_kv, hd] with an
+    absolute write index, replacing the reference's per-step tensor concat
+    (modeling_internlm2.py:383-388) that forces dynamic shapes.
+  * GQA attention contracts grouped heads directly (no repeat_kv
+    materialization, reference :268-277).
+  * Padding is an additive mask built from a [B, S] validity mask; the
+    flash-attention kernel path uses the same mask semantics.
+
+Layouts: activations [B, S, H]; q/k/v [B, S, heads, head_dim].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ullsam_tpu.core.config import InternLM2Config
+from ullsam_tpu.ops import layers as L
+from ullsam_tpu.ops.rope import apply_rope, rope_cos_sin
+
+Array = jax.Array
+
+NEG_INF = -1e9  # additive mask value (fp32 logits)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def internlm2_init(key, cfg: InternLM2Config, dtype=jnp.float32) -> dict:
+    nl = cfg.num_hidden_layers
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    qkv_out = (cfg.num_attention_heads + 2 * cfg.num_key_value_heads) * cfg.head_dim
+    keys = jax.random.split(key, 8)
+
+    def stacked(k, shape, scale):
+        return (jax.random.normal(k, (nl,) + shape, dtype) * scale)
+
+    layers = {
+        "attention_norm": {"scale": jnp.ones((nl, H), dtype)},
+        "wqkv": {"kernel": stacked(keys[0], (H, qkv_out), H ** -0.5)},
+        "wo": {"kernel": stacked(keys[1], (H, H), H ** -0.5)},
+        "ffn_norm": {"scale": jnp.ones((nl, H), dtype)},
+        "w1": {"kernel": stacked(keys[2], (H, I), H ** -0.5)},
+        "w3": {"kernel": stacked(keys[3], (H, I), H ** -0.5)},
+        "w2": {"kernel": stacked(keys[4], (I, H), I ** -0.5)},
+    }
+    if cfg.bias:
+        layers["wqkv"]["bias"] = jnp.zeros((nl, qkv_out), dtype)
+        layers["wo"]["bias"] = jnp.zeros((nl, H), dtype)
+    return {
+        "tok_embeddings": jax.random.normal(keys[5], (cfg.vocab_size, H),
+                                            dtype) * 0.02,
+        "layers": layers,
+        "norm": {"scale": jnp.ones((H,), dtype)},
+        "output": {"kernel": jax.random.normal(keys[6], (H, cfg.vocab_size),
+                                               dtype) * H ** -0.5},
+    }
+
+
+def embed_tokens(params: dict, input_ids: Array) -> Array:
+    return jnp.take(params["tok_embeddings"], input_ids, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# attention core
+# ---------------------------------------------------------------------------
+
+
+def _split_wqkv(qkv: Array, cfg: InternLM2Config) -> Tuple[Array, Array, Array]:
+    """Unpack the fused wqkv output (modeling_internlm2.py:363-371 layout:
+    [B, S, n_kv, groups + 2, hd] with q groups first, then k, then v)."""
+    B, S, _ = qkv.shape
+    g = cfg.num_kv_groups
+    qkv = qkv.reshape(B, S, cfg.num_key_value_heads, g + 2, cfg.head_dim)
+    q = qkv[:, :, :, :g, :].reshape(B, S, cfg.num_attention_heads, cfg.head_dim)
+    k = qkv[:, :, :, -2, :]
+    v = qkv[:, :, :, -1, :]
+    return q, k, v
+
+
+def gqa_attention(q: Array, k: Array, v: Array, mask: Array,
+                  cfg: InternLM2Config) -> Array:
+    """Grouped-query attention without repeat_kv.
+
+    q: [B, S, nh, hd]; k/v: [B, T, n_kv, hd]; mask additive [B, 1, S, T] or
+    broadcastable. Softmax fp32 (reference :409). Returns [B, S, nh, hd].
+    """
+    B, S, nh, hd = q.shape
+    T = k.shape[1]
+    nkv, g = cfg.num_key_value_heads, cfg.num_kv_groups
+    qg = q.reshape(B, S, nkv, g, hd)
+    logits = jnp.einsum("bsngd,btnd->bngst", qg, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * (hd ** -0.5)
+    logits = logits + mask.reshape(B, 1, 1, mask.shape[-2], T)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bngst,btnd->bsngd", probs, v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, S, nh, hd).astype(q.dtype)
+
+
+def causal_mask(attention_mask: Array, q_len: int, kv_len: int,
+                q_offset: Array | int = 0) -> Array:
+    """Additive [B, q_len, kv_len] mask combining causality and padding.
+
+    attention_mask: [B, kv_len] validity (1 = attendable). q_offset is the
+    absolute position of the first query row (scalar or per-batch [B]).
+    """
+    q_pos = jnp.arange(q_len)[:, None] + jnp.asarray(q_offset)[..., None, None]
+    kv_pos = jnp.arange(kv_len)[None, :]
+    causal = q_pos >= kv_pos  # [B?, q, kv]
+    valid = attention_mask[:, None, :].astype(bool)
+    ok = jnp.logical_and(causal, valid)
+    return jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# full-sequence forward (training / no-cache prefill)
+# ---------------------------------------------------------------------------
+
+
+def _layer_body(cfg: InternLM2Config, x: Array, lp: dict, cos: Array,
+                sin: Array, mask: Array,
+                k_cache: Optional[Array] = None,
+                v_cache: Optional[Array] = None,
+                write_index: Optional[Array] = None):
+    """One decoder layer (modeling_internlm2.py:609-681 semantics).
+
+    If k_cache/v_cache are given ([B, max_len, n_kv, hd]) the new k/v are
+    written at write_index and attention runs against the full cache.
+    Returns (x_out, new_k, new_v) where new_k/new_v are either the updated
+    cache slabs or the per-call k/v (cache-less mode).
+    """
+    h = L.rms_norm(lp["attention_norm"], x, eps=cfg.rms_norm_eps)
+    qkv = L.linear(lp["wqkv"], h)
+    q, k, v = _split_wqkv(qkv, cfg)
+    q, k = apply_rope(q, k, cos, sin)
+
+    if k_cache is not None:
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k.astype(k_cache.dtype), write_index, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v.astype(v_cache.dtype), write_index, axis=1)
+        attn = gqa_attention(q, k_cache.astype(q.dtype),
+                             v_cache.astype(q.dtype), mask, cfg)
+        new_k, new_v = k_cache, v_cache
+    else:
+        attn = gqa_attention(q, k, v, mask, cfg)
+        new_k, new_v = k, v
+
+    B, S = x.shape[:2]
+    attn = attn.reshape(B, S, cfg.hidden_size)
+    x = x + L.linear(lp["wo"], attn)
+    h = L.rms_norm(lp["ffn_norm"], x, eps=cfg.rms_norm_eps)
+    x = x + L.swiglu(lp, h)
+    return x, new_k, new_v
+
+
+def internlm2_forward(
+    params: dict,
+    cfg: InternLM2Config,
+    input_ids: Optional[Array] = None,
+    inputs_embeds: Optional[Array] = None,
+    attention_mask: Optional[Array] = None,
+    position_ids: Optional[Array] = None,
+    output_hidden_states: bool = False,
+) -> dict:
+    """Full-sequence forward. Returns dict with 'logits' [B,S,V],
+    'last_hidden' [B,S,H] (post final norm), and optionally
+    'hidden_states' [n_layers+1, B, S, H] (per-layer inputs, HF ordering:
+    hidden_states[i] is the input to layer i; last_hidden is the post-norm
+    final, matching outputs.hidden_states[-1] semantics via select)."""
+    if inputs_embeds is None:
+        inputs_embeds = embed_tokens(params, input_ids)
+    x = inputs_embeds
+    B, S, H = x.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, S), jnp.int32)
+    if position_ids is None:
+        # position = cumsum of mask - 1, clamped (reference builds position
+        # ids from the padding mask, modeling_internlm2.py:1131-1134)
+        position_ids = jnp.maximum(
+            jnp.cumsum(attention_mask, axis=-1) - 1, 0)
+
+    cos, sin = rope_cos_sin(cfg, position_ids, ntk_seq_len=S)
+    mask = causal_mask(attention_mask, S, S)
+
+    stacked = params["layers"]
+
+    def body(carry, lp):
+        x = carry
+        x_out, _, _ = _layer_body(cfg, x, lp, cos, sin, mask)
+        return x_out, (x if output_hidden_states else None)
+
+    x, per_layer = jax.lax.scan(body, x, stacked)
+    last_hidden = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+    logits = L.linear(params["output"], last_hidden)
+    out = {"logits": logits, "last_hidden": last_hidden}
+    if output_hidden_states:
+        out["hidden_states"] = per_layer  # [L, B, S, H] inputs to each layer
+    return out
+
+
+# ---------------------------------------------------------------------------
+# KV-cache prefill / decode
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class KVCache:
+    k: Array          # [L, B, max_len, n_kv, hd]
+    v: Array          # [L, B, max_len, n_kv, hd]
+    mask: Array       # [B, max_len] int32 validity of cache slots
+    index: Array      # scalar int32: next write slot
+
+
+jax.tree_util.register_dataclass(
+    KVCache, data_fields=["k", "v", "mask", "index"], meta_fields=[])
+
+
+def init_cache(cfg: InternLM2Config, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_hidden_layers, batch, max_len,
+             cfg.num_key_value_heads, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   mask=jnp.zeros((batch, max_len), jnp.int32),
+                   index=jnp.zeros((), jnp.int32))
+
+
+def internlm2_prefill(params: dict, cfg: InternLM2Config,
+                      inputs_embeds: Array, attention_mask: Array,
+                      cache: KVCache,
+                      output_hidden_states: bool = False) -> Tuple[dict, KVCache]:
+    """Prefill the cache with a [B, S, H] prompt (S <= max_len).
+
+    attention_mask: [B, S] validity (supports left- or right-padding).
+    Writes k/v into slots [0, S); returns forward outputs + updated cache.
+    """
+    x = inputs_embeds
+    B, S, H = x.shape
+    max_len = cache.k.shape[2]
+    position_ids = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0)
+    cos, sin = rope_cos_sin(cfg, position_ids, ntk_seq_len=max_len)
+
+    cache_mask = jnp.pad(attention_mask, ((0, 0), (0, max_len - S)))
+    mask = causal_mask(cache_mask, S, max_len)
+
+    zero = jnp.zeros((), jnp.int32)
+
+    def body(carry, xs):
+        x = carry
+        lp, kc, vc = xs
+        x_out, kc, vc = _layer_body(cfg, x, lp, cos, sin, mask,
+                                    k_cache=kc, v_cache=vc, write_index=zero)
+        return x_out, ((x if output_hidden_states else None), kc, vc)
+
+    x, (per_layer, new_k, new_v) = jax.lax.scan(
+        body, x, (params["layers"], cache.k, cache.v))
+    last_hidden = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+    logits = L.linear(params["output"], last_hidden)
+    out = {"logits": logits, "last_hidden": last_hidden}
+    if output_hidden_states:
+        out["hidden_states"] = per_layer
+    new_cache = KVCache(k=new_k, v=new_v, mask=cache_mask,
+                        index=jnp.asarray(S, jnp.int32))
+    return out, new_cache
+
+
+def internlm2_decode_step(params: dict, cfg: InternLM2Config,
+                          token_embeds: Array, cache: KVCache
+                          ) -> Tuple[Array, KVCache]:
+    """One decode step: token_embeds [B, 1, H] -> (logits [B, V], cache).
+
+    The new token is written at slot cache.index for every row; its position
+    id is the per-row count of valid tokens (correct under left-padding).
+    """
+    B = token_embeds.shape[0]
+    max_len = cache.k.shape[2]
+    position_ids = jnp.sum(cache.mask, axis=-1, keepdims=True)  # [B, 1]
+    cos, sin = rope_cos_sin(cfg, position_ids, ntk_seq_len=max_len)
+
+    slot = cache.index
+    new_mask = jax.lax.dynamic_update_slice_in_dim(
+        cache.mask, jnp.ones((B, 1), jnp.int32), slot, axis=1)
+    # attend to all valid cache slots incl. the new token (no causal row
+    # constraint needed: one query at the end of the sequence)
+    mask = jnp.where(new_mask[:, None, :].astype(bool), 0.0, NEG_INF)
+
+    x = token_embeds
+
+    def body(carry, xs):
+        x = carry
+        lp, kc, vc = xs
+        x_out, kc, vc = _layer_body(cfg, x, lp, cos, sin, mask,
+                                    k_cache=kc, v_cache=vc, write_index=slot)
+        return x_out, (kc, vc)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"],
+                                               cache.k, cache.v))
+    last_hidden = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+    logits = L.linear(params["output"], last_hidden)[:, 0, :]
+    return logits, KVCache(k=new_k, v=new_v, mask=new_mask, index=slot + 1)
