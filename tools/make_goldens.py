@@ -43,6 +43,16 @@ def save(name, **arrays):
     print(f"wrote {path} ({len(arrays)} arrays, {total/1e6:.2f} MB)")
 
 
+
+def quantize_fp16(*modules):
+    """Round module weights to fp16 (stored compactly; loaded back so golden
+    outputs are computed with the exact stored values)."""
+    with torch.no_grad():
+        for m in modules:
+            for p in list(m.parameters()) + list(m.buffers()):
+                p.copy_(p.half().float())
+
+
 def make_vit_tiny():
     from functools import partial
     from modeling.image_encoder import ImageEncoderViT
@@ -259,6 +269,96 @@ def make_internlm2_tiny():
          **state_dict_np(m))
 
 
+
+
+def make_fusion_tiny():
+    """Tiny full uLLSAM chain: fused forward -> LLM dense prompt -> SAM
+    decoder (BASELINE config #4 / app.py:580-644 path). Vision tower must
+    emit [B,256,64,64] (the fusion model hardcodes sam_hidden=256, 64x64)."""
+    from functools import partial
+    from modeling.image_encoder import ImageEncoderViT
+    from modeling.prompt_encoder import PromptEncoder
+    from modeling.mask_decoder import MaskDecoder
+    from modeling.transformer import TwoWayTransformer
+    from modeling.configuration_internvl_chat import InternVLChatConfig
+    from modeling.modeling_internvl_sam import InternVLSAMModel
+
+    torch.manual_seed(7)
+    vit = ImageEncoderViT(
+        img_size=1024, patch_size=16, embed_dim=32, depth=1, num_heads=2,
+        mlp_ratio=1.0, out_chans=256, qkv_bias=True,
+        norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+        use_abs_pos=True, use_rel_pos=True, window_size=2,
+        global_attn_indexes=())
+    llm_cfg = dict(
+        architectures=["InternLM2ForCausalLM"], vocab_size=128,
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=2048, bias=False, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        attn_implementation="eager", torch_dtype="float32",
+        pad_token_id=0, bos_token_id=1, eos_token_id=2)
+    cfg = InternVLChatConfig(
+        vision_config={"architectures": ["InternVisionModel"]},
+        llm_config=llm_cfg, select_layer=-1, downsample_ratio=0.5,
+        template="internlm2-chat", ps_version="v2")
+    model = InternVLSAMModel(cfg, vision_model=vit).float().eval()
+    randomize_zeros(model)
+    model.img_context_token_id = 100
+
+    pe = PromptEncoder(embed_dim=256, image_embedding_size=(64, 64),
+                       input_image_size=(1024, 1024), mask_in_chans=16).eval()
+    md = MaskDecoder(
+        transformer_dim=256,
+        transformer=TwoWayTransformer(depth=2, embedding_dim=256,
+                                      mlp_dim=128, num_heads=4),
+        num_multimask_outputs=3, iou_head_depth=3,
+        iou_head_hidden_dim=32).eval()
+
+    quantize_fp16(model, pe, md)
+
+    torch.manual_seed(8)
+    pixel_values = torch.rand(1, 3, 1024, 1024)
+    n_ctx = 1024
+    ids = [5, 6] + [100] * n_ctx + [9, 11, 3, 7, 2]
+    input_ids = torch.tensor([ids])
+    labels = torch.tensor([[(-100 if t == 100 else t) for t in ids]])
+    image_flags = torch.ones(1, 1, dtype=torch.long)
+
+    with torch.no_grad():
+        out = model(pixel_values=pixel_values, input_ids=input_ids,
+                    attention_mask=torch.ones_like(input_ids),
+                    image_flags=image_flags, labels=labels,
+                    output_hidden_states=True, return_dict=True)
+        dense = out.hidden_states            # [1, 256, 64, 64]
+        sam_feats = out.image_embeddings     # [1, 256, 64, 64]
+        coords = torch.tensor([[[512.0, 400.0], [100.0, 900.0]]])
+        pt_labels = torch.tensor([[1, 0]])
+        sparse_e, dense_e = pe(points=(coords, pt_labels), boxes=None,
+                               masks=None, llm_hidden_states=dense)
+        masks, iou = md(image_embeddings=sam_feats,
+                        image_pe=pe.get_dense_pe(),
+                        sparse_prompt_embeddings=sparse_e,
+                        dense_prompt_embeddings=dense_e,
+                        multimask_output=False)
+
+    save("fusion_tiny",
+         input_ids=input_ids.numpy(), labels=labels.numpy(),
+         logits=out.logits.detach().numpy().astype(np.float32),
+         loss=np.asarray(out.loss.detach().numpy()),
+         dense=dense.detach().numpy().astype(np.float16),
+         sam_feats=sam_feats.detach().numpy().astype(np.float16),
+         coords=coords.numpy(), pt_labels=pt_labels.numpy(),
+         seg_masks=masks.detach().numpy().astype(np.float16),
+         seg_iou=iou.detach().numpy(),
+         **{k: v.astype(np.float16) for k, v in
+            state_dict_np(model, "fusion.").items()},
+         **{k: v.astype(np.float16) for k, v in
+            state_dict_np(pe, "prompt_encoder.").items()},
+         **{k: v.astype(np.float16) for k, v in
+            state_dict_np(md, "mask_decoder.").items()})
+
+
 if __name__ == "__main__":
     make_vit_tiny()
     make_prompt_encoder_tiny()
@@ -266,3 +366,27 @@ if __name__ == "__main__":
     make_rel_pos_interp()
     make_sam_micro()
     make_internlm2_tiny()
+    make_fusion_tiny()
+    make_conversation_goldens()
+
+def make_conversation_goldens():
+    from modeling.conversation import get_conv_template
+
+    def prompt(name, question, history=None):
+        t = get_conv_template(name)
+        for q, a in (history or []):
+            t.append_message(t.roles[0], q)
+            t.append_message(t.roles[1], a)
+        t.append_message(t.roles[0], question)
+        t.append_message(t.roles[1], None)
+        return t.get_prompt()
+
+    prompts = {
+        "internlm2_simple": prompt("internlm2-chat", "Describe the image.\n<image>"),
+        "internlm2_history": prompt("internlm2-chat", "And now?",
+                                    history=[("Hi", "Hello!")]),
+        "hermes": prompt("Hermes-2", "What is this?\n<image>"),
+        "phi3": prompt("phi3-chat", "Segment the cell.\n<image>"),
+        "internvl25": prompt("internvl2_5", "Caption.\n<image>"),
+    }
+    save("conversation", **{k: np.array(v) for k, v in prompts.items()})

@@ -1,0 +1,131 @@
+"""High-level chat / interactive-segmentation API over the fusion model.
+
+Behavioral reference: InternVLSAMModel.chat / batch_chat / generate
+(modeling_internvl_sam.py:272-442) and the app's interactive path
+(app.py:497-656). Prompt lengths are padded to a bucket multiple so jit
+compilations stay bounded.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ullsam_tpu.core.config import FusionConfig
+from ullsam_tpu.models.internlm2 import model as LLM
+from ullsam_tpu.models.internlm2.generate import GenerationConfig, generate
+from ullsam_tpu.models.ullsam import fusion as F
+from ullsam_tpu.models.ullsam.conversation import (build_chat_prompt,
+                                                   get_conv_template)
+
+Array = jax.Array
+
+
+def _bucket(n: int, multiple: int = 128) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def _tokenize_left_padded(tokenizer, prompts: List[str],
+                          bucket_multiple: int = 128):
+    ids, mask = tokenizer.encode_batch(prompts, pad_side="left")
+    S = _bucket(len(ids[0]), bucket_multiple)
+    pad = S - len(ids[0])
+    ids = [[tokenizer.pad_token_id] * pad + row for row in ids]
+    mask = [[0] * pad + row for row in mask]
+    return jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32)
+
+
+def chat(params: dict, cfg: FusionConfig, tokenizer, pixel_values: Array,
+         question: str, gen: Optional[GenerationConfig] = None,
+         history: Optional[List[Tuple[str, str]]] = None,
+         rng: Optional[Array] = None,
+         return_history: bool = False):
+    """Single-image chat: returns the response string (and history).
+
+    pixel_values: [1, S, S, 3] NHWC preprocessed image, or None for
+    text-only chat.
+    """
+    responses, history = batch_chat(
+        params, cfg, tokenizer, pixel_values,
+        [question], gen=gen, histories=[history or []], rng=rng)
+    if return_history:
+        return responses[0], history[0]
+    return responses[0]
+
+
+def batch_chat(params: dict, cfg: FusionConfig, tokenizer,
+               pixel_values: Optional[Array], questions: List[str],
+               gen: Optional[GenerationConfig] = None,
+               histories: Optional[List[List[Tuple[str, str]]]] = None,
+               rng: Optional[Array] = None):
+    """Batched chat with left padding (modeling_internvl_sam.py:337-392)."""
+    template = get_conv_template(cfg.template)
+    eos_id = tokenizer.convert_tokens_to_ids(template.sep.strip())
+    if gen is None:
+        gen = GenerationConfig()
+    import dataclasses
+    gen = dataclasses.replace(gen, eos_token_id=eos_id,
+                              pad_token_id=tokenizer.pad_token_id)
+
+    histories = histories or [[] for _ in questions]
+    prompts = [
+        build_chat_prompt(cfg.template, q, history=h,
+                          num_image_token=cfg.num_image_token,
+                          has_image=pixel_values is not None)
+        for q, h in zip(questions, histories)
+    ]
+    input_ids, attention_mask = _tokenize_left_padded(tokenizer, prompts)
+
+    embeds = LLM.embed_tokens(params["llm"], input_ids)
+    if pixel_values is not None:
+        vit_tokens, _ = F.extract_feature(params, cfg, pixel_values)
+        embeds = F.scatter_image_embeds(input_ids, embeds, vit_tokens,
+                                        cfg.img_context_token_id)
+
+    tokens, lengths = generate(params["llm"], cfg.llm, gen, embeds,
+                               attention_mask, rng=rng)
+    tokens = np.asarray(tokens)
+    lengths = np.asarray(lengths)
+    sep = template.sep.strip()
+    responses = []
+    for b in range(tokens.shape[0]):
+        text = tokenizer.decode(tokens[b, :lengths[b]].tolist())
+        responses.append(text.split(sep)[0].strip())
+        histories[b].append((questions[b], responses[-1]))
+    return responses, histories
+
+
+def segment_forward(params: dict, cfg: FusionConfig, tokenizer,
+                    pixel_values: Array,
+                    question: str = "Describe the image in detail."):
+    """The app's interactive-segmentation prefill (app.py:549-598): one fused
+    forward with the fixed question, returning the LLM dense prompt and the
+    SAM features for subsequent point decoding."""
+    prompt = build_chat_prompt(cfg.template, question,
+                               num_image_token=cfg.num_image_token)
+    ids = tokenizer.encode(prompt)
+    input_ids = jnp.asarray([ids], jnp.int32)
+    out = F.fusion_forward(params, cfg, pixel_values, input_ids,
+                           output_dense_prompt=True)
+    return out["dense_prompt"], out["image_embeddings"]
+
+
+def point_segment(params: dict, cfg: FusionConfig, sam_features: Array,
+                  dense_prompt: Optional[Array], point_coords: Array,
+                  point_labels: Array, threshold: float = 0.5):
+    """Interactive mask from clicks (app.py:617-644): decode + upsample +
+    sigmoid threshold. Returns (binary mask [B,1,S,S], probs, iou)."""
+    low_res, iou = F.segment_with_prompts(
+        params, cfg, sam_features, dense_prompt, point_coords, point_labels,
+        multimask_output=False)
+    size = cfg.sam.vit.img_size
+    B, M = low_res.shape[:2]
+    up = jax.image.resize(low_res.astype(jnp.float32), (B, M, size, size),
+                          method="bilinear")
+    probs = jax.nn.sigmoid(up)
+    # NB: the app thresholds sigmoid>0.5 (app.py:644) while Sam.forward uses
+    # logits>0.0 (sam.py:19,123) — numerically identical at 0.5/0.0.
+    return probs > threshold, probs, iou
