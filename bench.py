@@ -1,0 +1,84 @@
+"""Benchmark entrypoint: prints ONE JSON line for the driver.
+
+Primary metric (BASELINE.json north star): AMG masks/sec/chip. Until the
+AMG sweep lands, falls back to batched point-prompt mask decoding
+throughput on SAM ViT-B (encoder amortized + decode per prompt), bf16.
+
+vs_baseline: ratio vs the reference GPU path. The reference publishes no
+numbers (BASELINE.md) and no GPU is reachable here, so the denominator is
+the documented estimate REF_BASELINE_MASKS_PER_SEC (see README); treat it
+as provisional until a measured reference number exists.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Provisional reference-path estimate: SAM ViT-B interactive path on the
+# reference's serving GPU. app.py prints t_mllm/t_sam at runtime but the
+# repo records no values (BASELINE.md); 15 masks/s is a conservative
+# estimate for the torch fp16 single-prompt loop it implements.
+REF_BASELINE_MASKS_PER_SEC = 15.0
+
+
+def bench_point_masks(n_prompts: int = 64, iters: int = 5):
+    import jax
+    import jax.numpy as jnp
+
+    from ullsam_tpu.core.config import sam_vit_b
+    from ullsam_tpu.models.sam import build_sam, decode_masks, encode_image
+    from ullsam_tpu.models.sam import sam as S
+
+    cfg, params = build_sam("vit_b")
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 1024, 1024, 3) * 255,
+                      jnp.bfloat16)
+
+    @jax.jit
+    def encode(params, img):
+        return encode_image(params, cfg, S.preprocess(img, cfg))
+
+    @jax.jit
+    def decode(params, emb, coords, labels):
+        masks, iou = decode_masks(params, cfg, emb,
+                                  points=(coords, labels),
+                                  multimask_output=True)
+        return masks, iou
+
+    coords = jnp.asarray(
+        np.random.RandomState(1).rand(n_prompts, 1, 2) * 1024, jnp.float32)
+    labels = jnp.ones((n_prompts, 1), jnp.int32)
+
+    emb = encode(params, img)
+    masks, iou = decode(params, emb, coords, labels)
+    np.asarray(iou)  # force full execution + transfer
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        emb = encode(params, img)
+        masks, iou = decode(params, emb, coords, labels)
+    np.asarray(iou)
+    np.asarray(masks[0, 0, :2, :2])
+    dt = (time.perf_counter() - t0) / iters
+    return n_prompts / dt
+
+
+def main():
+    try:
+        from ullsam_tpu.inference.amg import bench_amg  # noqa: F401
+        value = bench_amg()
+        metric, unit = "amg_masks_per_sec_vitb", "masks/s/chip"
+    except ImportError:
+        value = bench_point_masks()
+        metric, unit = "point_prompt_masks_per_sec_vitb", "masks/s/chip"
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 3),
+        "unit": unit,
+        "vs_baseline": round(float(value) / REF_BASELINE_MASKS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Training step: fused forward -> instance segmentation loss -> optax update.
+
+Behavioral reference: train_joint_v2.py train_epoch (:943-1242) — fused
+forward with hidden states, LLM-conditioned dense prompt, per-instance point
+prompts into the mask decoder, BCE+Dice at 1024^2, cosine schedule with
+warmup, global-norm clip, AdamW with no-decay for bias/norm params, module
+freezing. Differences by design:
+  * vision tower runs ONCE per step (reference runs it twice, :1014-1021)
+  * variable instance counts are padded + masked, not Python-looped
+  * freezing via optax.multi_transform labels, not requires_grad mutation
+  * the whole step is one jit-able pure function, data-parallel over a mesh
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ullsam_tpu.core.config import FusionConfig
+from ullsam_tpu.core.tree import map_with_paths
+from ullsam_tpu.models.ullsam import fusion as F
+from ullsam_tpu.train.losses import instance_seg_loss
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.01
+    total_steps: int = 10000
+    warmup_ratio: float = 0.03          # train_joint_v2.py:1742-1748
+    max_grad_norm: float = 1.0
+    seg_weight: float = 1.0
+    llm_weight: float = 0.0             # reference zeroes the CE term (:1100)
+    # regexes of trainable param paths; reference segment mode trains the
+    # SAM tower + projectors and freezes the LLM (:1282-1310)
+    trainable_patterns: Tuple[str, ...] = (r"sam\..*", r"mlp1\..*", r"mlp2\..*")
+    # no weight decay for bias/norm/scale params (:1725-1739)
+    no_decay_patterns: Tuple[str, ...] = (
+        r".*\.bias", r".*norm.*", r".*\.scale", r".*ln.*", r".*pos_embed.*",
+        r".*rel_pos.*", r".*embed.*")
+    use_llm_hidden_states: bool = True  # False = baseline ablation
+    freeze_vision: bool = False         # True = train.py semantics
+
+
+def _match_any(path: str, patterns) -> bool:
+    return any(re.fullmatch(p, path) for p in patterns)
+
+
+def trainable_mask(params, tcfg: TrainConfig):
+    pats = list(tcfg.trainable_patterns)
+    if tcfg.freeze_vision:
+        pats = [p for p in pats if not p.startswith(r"sam\.")]
+    return map_with_paths(lambda p, x: _match_any(p, pats), params)
+
+
+def make_optimizer(params, tcfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=tcfg.learning_rate,
+        warmup_steps=max(1, int(tcfg.total_steps * tcfg.warmup_ratio)),
+        decay_steps=tcfg.total_steps, end_value=0.0)
+    decay_mask = map_with_paths(
+        lambda p, x: not _match_any(p, tcfg.no_decay_patterns), params)
+    adamw = optax.chain(
+        optax.clip_by_global_norm(tcfg.max_grad_norm),
+        optax.adamw(schedule, weight_decay=tcfg.weight_decay,
+                    mask=decay_mask),
+    )
+    mask = trainable_mask(params, tcfg)
+    labels = jax.tree_util.tree_map(
+        lambda t: "train" if t else "freeze", mask)
+    return optax.multi_transform(
+        {"train": adamw, "freeze": optax.set_to_zero()}, labels)
+
+
+def seg_loss_fn(params, cfg: FusionConfig, tcfg: TrainConfig, batch: dict
+                ) -> Tuple[Array, dict]:
+    """Loss for one batch.
+
+    batch keys:
+      pixel_values   [B, S, S, 3]
+      input_ids      [B, N]
+      attention_mask [B, N]
+      labels         [B, N] (CE labels, -100 masked; optional)
+      point_coords   [B, I, P, 2]
+      point_labels   [B, I, P]
+      masks          [B, I, Hm, Wm] (ground-truth instance masks)
+      instance_valid [B, I]
+    """
+    out = F.fusion_forward(
+        params, cfg, batch["pixel_values"], batch["input_ids"],
+        attention_mask=batch.get("attention_mask"),
+        labels=batch.get("labels"),
+        output_dense_prompt=tcfg.use_llm_hidden_states,
+        stop_vision_gradient=False)
+
+    dense = out.get("dense_prompt")
+
+    def per_image(feats_i, dense_i, coords_i, labels_i):
+        low_res, _ = F.segment_with_prompts(
+            params, cfg, feats_i[None],
+            None if dense_i is None else dense_i[None],
+            coords_i, labels_i, multimask_output=False)
+        return low_res[:, 0]  # [I, 256, 256]
+
+    if dense is None:
+        low = jax.vmap(lambda f, c, l: per_image(f, None, c, l))(
+            out["image_embeddings"], batch["point_coords"],
+            batch["point_labels"])
+    else:
+        low = jax.vmap(per_image)(out["image_embeddings"], dense,
+                                  batch["point_coords"],
+                                  batch["point_labels"])
+
+    B, I = low.shape[:2]
+    Hm, Wm = batch["masks"].shape[-2:]
+    up = jax.image.resize(low.astype(jnp.float32), (B, I, Hm, Wm),
+                          method="bilinear")  # 256 -> mask res (:1072-1078)
+    seg_loss, metrics = instance_seg_loss(up, batch["masks"],
+                                          batch.get("instance_valid"))
+    total = tcfg.seg_weight * seg_loss
+    if tcfg.llm_weight and "loss" in out:
+        total = total + tcfg.llm_weight * out["loss"]
+    if "loss" in out:
+        metrics["llm_loss"] = out["loss"]
+    metrics["loss"] = total
+    return total, metrics
+
+
+def train_step(params, opt_state, batch, cfg: FusionConfig,
+               tcfg: TrainConfig, tx: optax.GradientTransformation):
+    """One optimizer step. jit with static (cfg, tcfg, tx) via closure."""
+    (loss, metrics), grads = jax.value_and_grad(
+        seg_loss_fn, has_aux=True)(params, cfg, tcfg, batch)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return params, opt_state, metrics
+
+
+def make_train_step(cfg: FusionConfig, tcfg: TrainConfig,
+                    tx: optax.GradientTransformation, donate: bool = True):
+    """jit-compiled train step closure (params/opt_state donated)."""
+    def step(params, opt_state, batch):
+        return train_step(params, opt_state, batch, cfg, tcfg, tx)
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
