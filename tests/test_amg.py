@@ -1,0 +1,149 @@
+"""AMG primitive parity vs reference utils/amg.py + generator smoke test."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ullsam_tpu.core.config import (MaskDecoderConfig, PromptEncoderConfig,
+                                    SamConfig, ViTConfig)
+from ullsam_tpu.inference import amg as A
+from ullsam_tpu.models.sam import sam as S
+
+TINY_SAM = SamConfig(
+    vit=ViTConfig(img_size=64, patch_size=8, embed_dim=16, depth=2,
+                  num_heads=2, mlp_ratio=2.0, out_chans=16, window_size=2,
+                  global_attn_indexes=(1,)),
+    prompt_encoder=PromptEncoderConfig(embed_dim=16,
+                                       image_embedding_size=(8, 8),
+                                       input_image_size=(64, 64),
+                                       mask_in_chans=8),
+    mask_decoder=MaskDecoderConfig(transformer_dim=16, transformer_mlp_dim=32,
+                                   transformer_num_heads=2,
+                                   iou_head_hidden_dim=8))
+
+
+def test_stability_score_parity(goldens):
+    g = goldens("amg_primitives")
+    stab = A.calculate_stability_score(jnp.asarray(g["logits"]), 0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(stab), g["stability"], atol=1e-6)
+
+
+def test_mask_to_box_parity(goldens):
+    g = goldens("amg_primitives")
+    boxes = A.batched_mask_to_box(jnp.asarray(g["masks"]))
+    np.testing.assert_array_equal(np.asarray(boxes), g["boxes"])
+
+
+def test_rle_parity_and_roundtrip(goldens):
+    g = goldens("amg_primitives")
+    rles = A.mask_to_rle(g["masks"])
+    np.testing.assert_array_equal(np.asarray(rles[0]["counts"]),
+                                  g["rle_counts_0"])
+    np.testing.assert_array_equal(np.asarray(rles[3]["counts"]),
+                                  g["rle_counts_3"])
+    areas = [A.area_from_rle(r) for r in rles]
+    np.testing.assert_array_equal(areas, g["areas"])
+    for i, r in enumerate(rles):
+        np.testing.assert_array_equal(A.rle_to_mask(r), g["masks"][i])
+
+
+def test_coco_encode_rle_roundtrip(goldens):
+    g = goldens("amg_primitives")
+    rles = A.mask_to_rle(g["masks"])
+    for r in rles:
+        enc = A.coco_encode_rle(r)
+        assert isinstance(enc["counts"], str)
+        # pycocotools parity when available (not in this env) — decode our
+        # own LEB128 to confirm losslessness
+        counts, x, i = [], 0, 0
+        s = enc["counts"].encode("ascii")
+        k = 0
+        while k < len(s):
+            x, m, shift = 0, 1, 0
+            while True:
+                c = s[k] - 48
+                x |= (c & 0x1F) << shift
+                k += 1
+                if not c & 0x20:
+                    if c & 0x10:
+                        x |= -1 << (shift + 5)
+                    break
+                shift += 5
+            if len(counts) > 2:
+                x += counts[-2]
+            counts.append(x)
+        assert counts == list(r["counts"]), (counts[:5], r["counts"][:5])
+
+
+def test_point_grids_parity(goldens):
+    g = goldens("amg_primitives")
+    np.testing.assert_allclose(A.build_point_grid(4), g["grid4"])
+    all_grids = A.build_all_layer_point_grids(8, 2, 2)
+    for i in range(3):
+        np.testing.assert_allclose(all_grids[i], g[f"grid_all_{i}"])
+
+
+def test_crop_boxes_parity(goldens):
+    g = goldens("amg_primitives")
+    crop_boxes, layer_idxs = A.generate_crop_boxes((50, 73), 2, 0.34)
+    np.testing.assert_array_equal(np.asarray(crop_boxes), g["crop_boxes"])
+    np.testing.assert_array_equal(np.asarray(layer_idxs), g["layer_idxs"])
+
+
+def test_nms_basic():
+    boxes = np.asarray([[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30]],
+                       np.float32)
+    scores = np.asarray([0.9, 0.8, 0.7], np.float32)
+    keep = A.nms(boxes, scores, 0.5)
+    np.testing.assert_array_equal(sorted(keep), [0, 2])
+
+
+def test_remove_small_regions():
+    mask = np.zeros((20, 20), bool)
+    mask[2:10, 2:10] = True       # big island
+    mask[15:17, 15:17] = True     # small island
+    mask[5, 5] = False            # small hole
+    out, changed = A.remove_small_regions(mask, area_thresh=6, mode="islands")
+    assert changed and not out[15, 15] and out[3, 3]
+    out2, changed2 = A.remove_small_regions(out, area_thresh=6, mode="holes")
+    assert changed2 and out2[5, 5]
+
+
+def test_generator_end_to_end():
+    params = S.sam_init(jax.random.PRNGKey(0), TINY_SAM)
+    img = (np.random.RandomState(0).rand(50, 60, 3) * 255).astype(np.uint8)
+    gen = A.AutomaticMaskGenerator(TINY_SAM, params, points_per_side=4,
+                                   points_per_batch=8, pred_iou_thresh=0.0,
+                                   stability_score_thresh=0.0)
+    recs = gen.generate(img)
+    assert recs, "no masks generated"
+    r = recs[0]
+    assert r["segmentation"].shape == (50, 60)
+    assert r["area"] == int(r["segmentation"].sum())
+    assert set(r) >= {"segmentation", "area", "bbox", "predicted_iou",
+                      "point_coords", "stability_score", "crop_box"}
+    # rle output mode
+    gen.output_mode = "coco_rle"
+    recs2 = gen.generate(img)
+    assert isinstance(recs2[0]["segmentation"]["counts"], str)
+
+
+def test_predictor_end_to_end():
+    from ullsam_tpu.inference.predictor import SamPredictor
+    params = S.sam_init(jax.random.PRNGKey(0), TINY_SAM)
+    pred = SamPredictor(TINY_SAM, params)
+    img = (np.random.RandomState(1).rand(48, 56, 3) * 255).astype(np.uint8)
+    pred.set_image(img)
+    masks, iou, low = pred.predict(point_coords=np.asarray([[20, 25]]),
+                                   point_labels=np.asarray([1]))
+    assert masks.shape == (1, 3, 48, 56) and masks.dtype == bool
+    assert iou.shape == (1, 3)
+    m2, _, _ = pred.predict(box=np.asarray([5, 5, 40, 40]),
+                            multimask_output=False)
+    assert m2.shape == (1, 1, 48, 56)
+    # mask-input refinement path
+    m3, _, _ = pred.predict(point_coords=np.asarray([[20, 25]]),
+                            point_labels=np.asarray([1]),
+                            mask_input=low[:, :1], multimask_output=False)
+    assert m3.shape == (1, 1, 48, 56)

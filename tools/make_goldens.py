@@ -368,6 +368,7 @@ if __name__ == "__main__":
     make_internlm2_tiny()
     make_fusion_tiny()
     make_conversation_goldens()
+    make_amg_goldens()
 
 def make_conversation_goldens():
     from modeling.conversation import get_conv_template
@@ -390,3 +391,36 @@ def make_conversation_goldens():
         "internvl25": prompt("internvl2_5", "Caption.\n<image>"),
     }
     save("conversation", **{k: np.array(v) for k, v in prompts.items()})
+
+def make_amg_goldens():
+    import sys
+    sys.path.insert(0, REFERENCE)
+    from utils import amg as ref
+
+    torch.manual_seed(9)
+    logits = torch.randn(6, 32, 32) * 3
+    stab = ref.calculate_stability_score(logits, 0.0, 1.0)
+
+    masks = logits > 0.0
+    # make one empty mask to exercise the empty-box path
+    masks[3] = False
+    boxes = ref.batched_mask_to_box(masks)
+
+    rles = ref.mask_to_rle_pytorch(masks)
+    areas = [ref.area_from_rle(r) for r in rles]
+
+    grids = ref.build_point_grid(4)
+    all_grids = ref.build_all_layer_point_grids(8, 2, 2)
+    crop_boxes, layer_idxs = ref.generate_crop_boxes((50, 73), 2, 0.34)
+
+    counts0 = np.asarray(rles[0]["counts"], np.int64)
+    counts3 = np.asarray(rles[3]["counts"], np.int64)
+    save("amg_primitives",
+         logits=logits.numpy(), masks=masks.numpy(),
+         stability=stab.numpy(), boxes=boxes.numpy(),
+         rle_counts_0=counts0, rle_counts_3=counts3,
+         areas=np.asarray(areas, np.int64),
+         grid4=grids, grid_all_0=all_grids[0], grid_all_1=all_grids[1],
+         grid_all_2=all_grids[2],
+         crop_boxes=np.asarray(crop_boxes, np.int64),
+         layer_idxs=np.asarray(layer_idxs, np.int64))
