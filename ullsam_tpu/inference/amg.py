@@ -360,13 +360,117 @@ def _upscale_threshold(cfg: SamConfig, low_res, out_h: int, out_w: int,
                        input_hw: Tuple[int, int]):
     """Selected low-res logits -> bool masks at original resolution
     (postprocess_masks geometry, sam.py:133-162)."""
-    K = low_res.shape[0]
-    size = cfg.vit.img_size
-    up = jax.image.resize(low_res.astype(jnp.float32), (K, size, size),
-                          method="bilinear")
-    up = up[:, :input_hw[0], :input_hw[1]]
-    up = jax.image.resize(up, (K, out_h, out_w), method="bilinear")
+    from ullsam_tpu.ops.resize import sam_postprocess_resize
+    up = sam_postprocess_resize(low_res, cfg.vit.img_size, input_hw,
+                                (out_h, out_w), compute_dtype=jnp.bfloat16)
     return up > cfg.mask_threshold
+
+
+def _device_box_iou(boxes: Array) -> Array:
+    """Pairwise IoU [N, N] on device for xyxy boxes."""
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0)
+    lt = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
+    rb = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-7)
+
+
+def _device_nms_topk(boxes: Array, scores: Array, iou_threshold: float,
+                     k: int) -> Tuple[Array, Array]:
+    """Greedy NMS keeping at most k boxes, fully on device.
+
+    Returns (indices [k], valid [k]). Runs k iterations of
+    argmax-and-suppress over the precomputed IoU matrix — no host sync.
+    """
+    iou = _device_box_iou(boxes)
+
+    def body(carry, _):
+        scores = carry
+        i = jnp.argmax(scores)
+        valid = scores[i] > -jnp.inf
+        # suppress overlapping + the chosen one
+        suppress = jnp.where(iou[i] > iou_threshold, -jnp.inf, 0.0)
+        scores = jnp.where(valid, scores + suppress, scores)
+        scores = scores.at[i].set(-jnp.inf)
+        return scores, (i, valid)
+
+    _, (idx, valid) = jax.lax.scan(body, scores, None, length=k)
+    return idx, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "points_per_batch", "max_out", "pred_iou_thresh",
+                     "stability_thresh", "stability_offset",
+                     "box_nms_thresh", "input_hw", "out_hw", "n_real"))
+def _amg_device_sweep(params, cfg: SamConfig, image, points,
+                      points_per_batch: int, max_out: int,
+                      pred_iou_thresh: float, stability_thresh: float,
+                      stability_offset: float, box_nms_thresh: float,
+                      input_hw: Tuple[int, int], out_hw: Tuple[int, int],
+                      n_real: int):
+    """The ENTIRE AMG sweep as one device program (one dispatch, one sync):
+
+    encode -> lax.map over prompt chunks (decode + iou/stability/boxes at
+    low res, logits kept bf16 in HBM) -> threshold filter -> on-device
+    greedy NMS -> top-max_out gather -> fused upscale-threshold to out_hw.
+
+    On the axon relay a single host round trip costs ~400ms, so per-chunk
+    host filtering dominates any compute saving — everything stays on
+    device until the final (small) stats transfer.
+
+    image: [1, h, w, 3] resized (0-255, unpadded); points: [N, 2]
+    input-frame pixels, N % points_per_batch == 0. Returns dict with masks
+    [max_out, *out_hw] bool plus per-mask stats and validity.
+    """
+    emb = S.encode_image(params, cfg, S.preprocess(image, cfg))
+    n_chunks = points.shape[0] // points_per_batch
+    chunks = points.reshape(n_chunks, points_per_batch, 2)
+
+    def do_chunk(pts):
+        labels = jnp.ones((points_per_batch, 1), jnp.int32)
+        low_res, iou = S.decode_masks(params, cfg, emb,
+                                      points=(pts[:, None, :], labels),
+                                      multimask_output=True)
+        M = low_res.shape[1]
+        flat = low_res.reshape(points_per_batch * M, *low_res.shape[2:])
+        stability = calculate_stability_score(flat, cfg.mask_threshold,
+                                              stability_offset)
+        boxes = batched_mask_to_box(flat > cfg.mask_threshold)
+        return (flat.astype(jnp.bfloat16), iou.reshape(-1), stability, boxes)
+
+    logits, iou, stability, boxes = jax.lax.map(do_chunk, chunks)
+    lr = logits.shape[-1]
+    logits = logits.reshape(-1, logits.shape[-2], lr)
+    iou = iou.reshape(-1)
+    stability = stability.reshape(-1)
+    boxes = boxes.reshape(-1, 4)
+
+    keep = jnp.arange(iou.shape[0]) < n_real * 3  # mask chunk padding
+    if pred_iou_thresh > 0.0:
+        keep &= iou > pred_iou_thresh
+    if stability_thresh > 0.0:
+        keep &= stability >= stability_thresh
+    scores = jnp.where(keep, iou, -jnp.inf)
+
+    if box_nms_thresh < 1.0:
+        idx, valid = _device_nms_topk(boxes, scores, box_nms_thresh, max_out)
+    else:
+        top = jax.lax.top_k(scores, max_out)
+        idx, valid = top[1], top[0] > -jnp.inf
+
+    sel = jnp.take(logits, idx, axis=0)
+    masks = _upscale_threshold(cfg, sel, out_hw[0], out_hw[1], input_hw)
+    masks = masks & valid[:, None, None]
+    return {
+        "masks": masks, "indices": idx, "valid": valid,
+        "iou": jnp.take(iou, idx), "stability": jnp.take(stability, idx),
+        "boxes_low": jnp.take(boxes, idx, axis=0),
+        "areas": jnp.sum(masks, axis=(1, 2), dtype=jnp.int32),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -414,97 +518,72 @@ class AutomaticMaskGenerator:
     # -- per-crop sweep ---------------------------------------------------
 
     def _process_crop(self, image: np.ndarray, crop_box: List[int],
-                      layer_idx: int, orig_size: Tuple[int, int]) -> MaskData:
+                      layer_idx: int, orig_size: Tuple[int, int]):
+        """One crop = ONE device dispatch (_amg_device_sweep) + one small
+        stats transfer. Returns (MaskData, masks bool [max_out, ch, cw] on
+        device, max_out)."""
         x0, y0, x1, y1 = crop_box
         cropped = image[y0:y1, x0:x1]
-        crop_size = cropped.shape[:2]
+        crop_size = tuple(cropped.shape[:2])
         resized = self.transform.apply_image(cropped)
-        input_hw = resized.shape[:2]
-        emb = None
-
-        x = jnp.asarray(resized, jnp.float32)[None]
-        from ullsam_tpu.inference.predictor import _encode
-        emb = _encode(self.params, self.cfg, x)
+        input_hw = tuple(resized.shape[:2])
 
         points_scale = np.array(crop_size)[None, ::-1]  # (w, h)
         points_for_image = self.point_grids[layer_idx] * points_scale
+        in_pts = self.transform.apply_coords(points_for_image, crop_size)
 
-        data = MaskData(iou_preds=np.zeros((0,), np.float32),
-                        stability=np.zeros((0,), np.float32),
-                        boxes_low=np.zeros((0, 4), np.float32),
-                        points=np.zeros((0, 2), np.float32))
-        low_res_chunks = []
         ppb = self.points_per_batch
-        n = len(points_for_image)
+        n = len(in_pts)
         n_pad = -n % ppb
-        padded = np.concatenate(
-            [points_for_image,
-             np.zeros((n_pad, 2), points_for_image.dtype)]) if n_pad else \
-            points_for_image
-        for start in range(0, len(padded), ppb):
-            pts = padded[start:start + ppb]
-            real = min(ppb, n - start)
-            if real <= 0:
-                break
-            in_pts = self.transform.apply_coords(pts, crop_size)
-            out = _sweep_chunk(self.params, self.cfg, emb,
-                               jnp.asarray(in_pts, jnp.float32),
-                               stability_offset=self.stability_score_offset)
-            M = 3
-            iou = np.asarray(out["iou"])[: real * M]
-            stab = np.asarray(out["stability"])[: real * M]
-            keep = np.ones(real * M, bool)
-            if self.pred_iou_thresh > 0:
-                keep &= iou > self.pred_iou_thresh
-            if self.stability_score_thresh > 0:
-                keep &= stab >= self.stability_score_thresh
-            if not keep.any():
-                continue
-            idx = np.flatnonzero(keep)
-            # stays ON DEVICE: logits never cross the host link
-            low_res_kept = jnp.take(out["low_res"], jnp.asarray(idx), axis=0)
-            chunk = MaskData(
-                iou_preds=iou[idx],
-                stability=stab[idx],
-                boxes_low=np.asarray(out["boxes_low"])[idx],
-                points=np.repeat(pts[:real], M, axis=0)[idx])
-            low_res_chunks.append(low_res_kept)
-            data.cat(chunk)
+        if n_pad:
+            in_pts = np.concatenate([in_pts, np.zeros((n_pad, 2),
+                                                      in_pts.dtype)])
+        max_out = min(self.max_masks or 512, n * 3)
 
-        lr_hw = tuple(4 * np.asarray(self.cfg.prompt_encoder.image_embedding_size))
-        if low_res_chunks:
-            low_res_dev = jnp.concatenate(low_res_chunks, axis=0)
-        else:
-            low_res_dev = jnp.zeros((0,) + lr_hw, jnp.float32)
+        out = _amg_device_sweep(
+            self.params, self.cfg,
+            jnp.asarray(resized, jnp.float32)[None],
+            jnp.asarray(in_pts, jnp.float32),
+            points_per_batch=ppb, max_out=max_out,
+            pred_iou_thresh=self.pred_iou_thresh,
+            stability_thresh=self.stability_score_thresh,
+            stability_offset=self.stability_score_offset,
+            box_nms_thresh=self.box_nms_thresh,
+            input_hw=input_hw, out_hw=crop_size, n_real=n)
 
-        # scale low-res boxes (256 grid) to crop pixel coords for NMS
-        scale_x = crop_size[1] / (4 * self.cfg.prompt_encoder.image_embedding_size[1])
-        scale_y = crop_size[0] / (4 * self.cfg.prompt_encoder.image_embedding_size[0])
-        # account for longest-side resize: low-res frame covers img_size;
-        # the crop occupies input_hw within it
-        size = self.cfg.vit.img_size
+        # ONE small transfer for all per-mask stats (~max_out floats)
+        stats = jax.device_get({k: out[k] for k in
+                                ("indices", "valid", "iou", "stability",
+                                 "boxes_low", "areas")})
+        valid = stats["valid"].astype(bool)
+
         lr = 4 * self.cfg.prompt_encoder.image_embedding_size[0]
-        boxes = data["boxes_low"] * (size / lr)  # -> input frame (1024)
+        size = self.cfg.vit.img_size
+        boxes = stats["boxes_low"].astype(np.float32) * (size / lr)
         boxes[:, [0, 2]] *= crop_size[1] / input_hw[1]
         boxes[:, [1, 3]] *= crop_size[0] / input_hw[0]
-        data["boxes"] = boxes
 
-        # per-crop NMS
-        keep = nms(data["boxes"], data["iou_preds"], self.box_nms_thresh)
-        data.filter(keep)
-        low_res_dev = jnp.take(low_res_dev, jnp.asarray(keep), axis=0)
+        points = np.repeat(points_for_image, 3, axis=0)[
+            np.clip(stats["indices"], 0, n * 3 - 1)]
 
-        data["boxes"] = uncrop_boxes_xyxy(data["boxes"], crop_box)
-        data["points"] = uncrop_points(data["points"], crop_box)
-        data["crop_boxes"] = np.asarray([crop_box] * len(data["boxes"]),
-                                        np.float32).reshape(-1, 4)
-        data["input_hw"] = [tuple(input_hw)] * len(data["boxes"])
-        data["crop_size"] = [tuple(crop_size)] * len(data["boxes"])
-        return data, low_res_dev
+        data = MaskData(
+            iou_preds=stats["iou"].astype(np.float32),
+            stability=stats["stability"].astype(np.float32),
+            boxes=uncrop_boxes_xyxy(boxes, crop_box),
+            points=uncrop_points(points.astype(np.float32), crop_box),
+            areas=stats["areas"].astype(np.int64),
+            valid=valid,
+            crop_boxes=np.asarray([crop_box] * max_out,
+                                  np.float32).reshape(-1, 4),
+            crop_size=[crop_size] * max_out,
+            mask_slot=np.arange(max_out),
+        )
+        return data, out["masks"], max_out
 
     def _collect(self, image: np.ndarray):
-        """Run the sweep over all crops; returns (metadata MaskData,
-        low-res logits as one DEVICE array [K, 256, 256])."""
+        """Sweep all crops. Returns (MaskData of VALID survivors after
+        cross-crop NMS, list of per-crop device mask arrays; each MaskData
+        row carries (crop_index, mask_slot))."""
         orig_size = image.shape[:2]
         crop_boxes, layer_idxs = generate_crop_boxes(
             orig_size, self.crop_n_layers, self.crop_overlap_ratio)
@@ -512,80 +591,73 @@ class AutomaticMaskGenerator:
         data = MaskData(iou_preds=np.zeros((0,), np.float32),
                         stability=np.zeros((0,), np.float32),
                         boxes=np.zeros((0, 4), np.float32),
-                        boxes_low=np.zeros((0, 4), np.float32),
                         points=np.zeros((0, 2), np.float32),
-                        crop_boxes=np.zeros((0, 4), np.float32))
-        dev_chunks = []
-        for crop_box, layer_idx in zip(crop_boxes, layer_idxs):
-            cd, low_dev = self._process_crop(image, crop_box, layer_idx,
-                                             orig_size)
-            dev_chunks.append(low_dev)
+                        areas=np.zeros((0,), np.int64),
+                        valid=np.zeros((0,), bool),
+                        crop_boxes=np.zeros((0, 4), np.float32),
+                        crop_size=[], mask_slot=np.zeros((0,), np.int64),
+                        crop_index=np.zeros((0,), np.int64))
+        device_masks = []
+        for ci, (crop_box, layer_idx) in enumerate(
+                zip(crop_boxes, layer_idxs)):
+            cd, masks_dev, max_out = self._process_crop(
+                image, crop_box, layer_idx, orig_size)
+            cd["crop_index"] = np.full(max_out, ci, np.int64)
+            device_masks.append(masks_dev)
             data.cat(cd)
-        lr_hw = tuple(4 * np.asarray(
-            self.cfg.prompt_encoder.image_embedding_size))
-        low_res = (jnp.concatenate(dev_chunks, axis=0) if dev_chunks
-                   else jnp.zeros((0,) + lr_hw, jnp.float32))
+
+        data.filter(data["valid"])
 
         if len(crop_boxes) > 1 and len(data["boxes"]):
             # prefer masks from smaller crops (score by crop area inverse)
-            scores = 1.0 / (data["crop_boxes"][:, 2] *
-                            data["crop_boxes"][:, 3] + 1.0)
+            areas = ((data["crop_boxes"][:, 2] - data["crop_boxes"][:, 0]) *
+                     (data["crop_boxes"][:, 3] - data["crop_boxes"][:, 1]))
+            scores = 1.0 / (areas + 1.0)
             keep = nms(data["boxes"], scores.astype(np.float32),
                        self.crop_nms_thresh)
             data.filter(keep)
-            low_res = jnp.take(low_res, jnp.asarray(keep), axis=0)
 
         if (self.max_masks is not None
                 and len(data["iou_preds"]) > self.max_masks):
             top = np.argsort(-data["iou_preds"])[: self.max_masks]
             data.filter(top)
-            low_res = jnp.take(low_res, jnp.asarray(top), axis=0)
-        return data, low_res, orig_size
-
-    def _upscale_all(self, data: MaskData, low_res, orig_size,
-                     to_host: bool):
-        """Upscale survivors batched per unique crop geometry. Returns
-        [K, H, W] bool — numpy if to_host else device array."""
-        K = low_res.shape[0]
-        groups: Dict[tuple, list] = {}
-        for i in range(K):
-            key = (tuple(data["crop_boxes"][i].astype(int).tolist()),
-                   tuple(data["input_hw"][i]), tuple(data["crop_size"][i]))
-            groups.setdefault(key, []).append(i)
-
-        single_full = (len(groups) == 1 and next(iter(groups))[0] ==
-                       (0, 0, orig_size[1], orig_size[0]))
-        if single_full and not to_host:
-            (crop_box, input_hw, crop_size), idxs = next(iter(groups.items()))
-            return _upscale_threshold(self.cfg, low_res, orig_size[0],
-                                      orig_size[1], tuple(input_hw))
-
-        masks_full = np.zeros((K, orig_size[0], orig_size[1]), bool)
-        for (crop_box, input_hw, crop_size), idxs in groups.items():
-            sel = jnp.take(low_res, jnp.asarray(idxs), axis=0)
-            up = np.asarray(_upscale_threshold(
-                self.cfg, sel, int(crop_size[0]), int(crop_size[1]),
-                tuple(input_hw)))
-            up = uncrop_masks(up, list(crop_box), orig_size[0], orig_size[1])
-            masks_full[np.asarray(idxs)] = up
-        return masks_full if to_host else jnp.asarray(masks_full)
+        return data, device_masks, orig_size
 
     def generate_dense(self, image: np.ndarray):
-        """Device-native output: (masks [K, H, W] bool on device, metadata
-        MaskData with iou_preds/stability/boxes/points). No RLE, no host
-        mask transfer — the fast path for on-TPU consumers and benchmarks."""
-        data, low_res, orig_size = self._collect(image)
-        masks = self._upscale_all(data, low_res, orig_size, to_host=False)
-        return masks, data
+        """Device-native output: (masks [K, H, W] bool ON DEVICE, MaskData).
+        No RLE, no bulk host transfer — the fast path for on-TPU consumers
+        and benchmarks. Single-crop configs never touch the host beyond one
+        small stats read."""
+        data, device_masks, orig_size = self._collect(image)
+        if len(device_masks) == 1:
+            masks = jnp.take(device_masks[0],
+                             jnp.asarray(data["mask_slot"]), axis=0)
+            return masks, data
+        # multi-crop: uncrop on host (sizes differ per crop)
+        return jnp.asarray(self._masks_to_host(data, device_masks,
+                                               orig_size)), data
+
+    def _masks_to_host(self, data: MaskData, device_masks, orig_size):
+        K = len(data["iou_preds"])
+        out = np.zeros((K, orig_size[0], orig_size[1]), bool)
+        for ci in range(len(device_masks)):
+            rows = np.flatnonzero(data["crop_index"] == ci)
+            if not len(rows):
+                continue
+            slots = data["mask_slot"][rows]
+            sel = np.asarray(jnp.take(device_masks[ci],
+                                      jnp.asarray(slots), axis=0))
+            crop_box = data["crop_boxes"][rows[0]].astype(int).tolist()
+            sel = uncrop_masks(sel, crop_box, orig_size[0], orig_size[1])
+            out[rows] = sel
+        return out
 
     def generate(self, image: np.ndarray) -> List[Dict[str, Any]]:
         """image: [H, W, 3] uint8 -> list of mask records (upstream AMG
         output contract)."""
-        data, low_res, orig_size = self._collect(image)
-        K = low_res.shape[0]
-        masks_full = self._upscale_all(data, low_res, orig_size,
-                                       to_host=True)
-        masks_full = np.asarray(masks_full)
+        data, device_masks, orig_size = self._collect(image)
+        K = len(data["iou_preds"])
+        masks_full = self._masks_to_host(data, device_masks, orig_size)
 
         if self.min_mask_region_area > 0:
             for i in range(K):
@@ -654,8 +726,8 @@ def bench_amg(points_per_side: int = 32, iters: int = 3,
     t0 = time.perf_counter()
     total = 0
     for _ in range(iters):
-        masks, _ = gen.generate_dense(image)
-        counts = np.asarray(jnp.sum(masks, axis=(1, 2)))
-        total += int(masks.shape[0])
+        masks, data = gen.generate_dense(image)
+        np.asarray(jnp.sum(masks, axis=(1, 2)))  # force materialization
+        total += int(data["valid"].sum())
     dt = time.perf_counter() - t0
     return total / dt

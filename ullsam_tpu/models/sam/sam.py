@@ -18,6 +18,7 @@ from ullsam_tpu.core.config import SamConfig
 from ullsam_tpu.models.sam import image_encoder as IE
 from ullsam_tpu.models.sam import prompt_encoder as PE
 from ullsam_tpu.models.sam import mask_decoder as MD
+from ullsam_tpu.ops.resize import bilinear_resize, sam_postprocess_resize
 
 Array = jax.Array
 
@@ -79,14 +80,12 @@ def postprocess_masks(masks: Array, input_size: Tuple[int, int],
     """Upscale low-res logits to original image size (sam.py:133-162).
 
     masks: [B, M, 256, 256] -> bilinear to img_size, crop the pad, bilinear
-    to original_size. Half-pixel bilinear == torch align_corners=False.
+    to original_size. The whole chain is one fused pair of interpolation
+    matmuls (ops/resize.py) with exact torch align_corners=False semantics
+    (no antialias — jax.image.resize antialiases downscales, torch doesn't).
     """
-    B, M = masks.shape[:2]
-    size = cfg.vit.img_size
-    up = jax.image.resize(masks, (B, M, size, size), method="bilinear")
-    up = up[..., :input_size[0], :input_size[1]]
-    return jax.image.resize(
-        up, (B, M, original_size[0], original_size[1]), method="bilinear")
+    return sam_postprocess_resize(masks.astype(jnp.float32), cfg.vit.img_size,
+                                  input_size, original_size)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "multimask_output"))
@@ -104,7 +103,5 @@ def sam_point_predict(params: dict, cfg: SamConfig, image: Array,
                                 points=(point_coords, point_labels),
                                 multimask_output=multimask_output)
     size = cfg.vit.img_size
-    B, M = low_res.shape[:2]
-    masks = jax.image.resize(low_res.astype(jnp.float32),
-                             (B, M, size, size), method="bilinear")
+    masks = bilinear_resize(low_res.astype(jnp.float32), size, size)
     return masks, iou

@@ -121,10 +121,9 @@ def point_segment(params: dict, cfg: FusionConfig, sam_features: Array,
     low_res, iou = F.segment_with_prompts(
         params, cfg, sam_features, dense_prompt, point_coords, point_labels,
         multimask_output=False)
+    from ullsam_tpu.ops.resize import bilinear_resize
     size = cfg.sam.vit.img_size
-    B, M = low_res.shape[:2]
-    up = jax.image.resize(low_res.astype(jnp.float32), (B, M, size, size),
-                          method="bilinear")
+    up = bilinear_resize(low_res.astype(jnp.float32), size, size)
     probs = jax.nn.sigmoid(up)
     # NB: the app thresholds sigmoid>0.5 (app.py:644) while Sam.forward uses
     # logits>0.0 (sam.py:19,123) — numerically identical at 0.5/0.0.

@@ -118,10 +118,9 @@ def seg_loss_fn(params, cfg: FusionConfig, tcfg: TrainConfig, batch: dict
                                   batch["point_coords"],
                                   batch["point_labels"])
 
-    B, I = low.shape[:2]
     Hm, Wm = batch["masks"].shape[-2:]
-    up = jax.image.resize(low.astype(jnp.float32), (B, I, Hm, Wm),
-                          method="bilinear")  # 256 -> mask res (:1072-1078)
+    from ullsam_tpu.ops.resize import bilinear_resize
+    up = bilinear_resize(low.astype(jnp.float32), Hm, Wm)  # (:1072-1078)
     seg_loss, metrics = instance_seg_loss(up, batch["masks"],
                                           batch.get("instance_valid"))
     total = tcfg.seg_weight * seg_loss
