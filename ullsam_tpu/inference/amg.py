@@ -405,13 +405,14 @@ def _device_nms_topk(boxes: Array, scores: Array, iou_threshold: float,
     jax.jit,
     static_argnames=("cfg", "points_per_batch", "max_out", "pred_iou_thresh",
                      "stability_thresh", "stability_offset",
-                     "box_nms_thresh", "input_hw", "out_hw", "n_real"))
+                     "box_nms_thresh", "input_hw", "out_hw", "n_real",
+                     "compute_dtype"))
 def _amg_device_sweep(params, cfg: SamConfig, image, points,
                       points_per_batch: int, max_out: int,
                       pred_iou_thresh: float, stability_thresh: float,
                       stability_offset: float, box_nms_thresh: float,
                       input_hw: Tuple[int, int], out_hw: Tuple[int, int],
-                      n_real: int):
+                      n_real: int, compute_dtype=jnp.float32):
     """The ENTIRE AMG sweep as one device program (one dispatch, one sync):
 
     encode -> lax.map over prompt chunks (decode + iou/stability/boxes at
@@ -422,11 +423,17 @@ def _amg_device_sweep(params, cfg: SamConfig, image, points,
     host filtering dominates any compute saving — everything stays on
     device until the final (small) stats transfer.
 
-    image: [1, h, w, 3] resized (0-255, unpadded); points: [N, 2]
-    input-frame pixels, N % points_per_batch == 0. Returns dict with masks
-    [max_out, *out_hw] bool plus per-mask stats and validity.
+    image: [1, ch, cw, 3] RAW crop (uint8/float 0-255, any size) — the
+    longest-side resize to input_hw, normalization, and padding all happen
+    ON DEVICE (ships ~3MB uint8 instead of 12MB fp32 + a resize round
+    trip). points: [N, 2] input-frame pixels, N % points_per_batch == 0.
+    Returns dict with masks [max_out, *out_hw] bool plus per-mask stats.
     """
-    emb = S.encode_image(params, cfg, S.preprocess(image, cfg))
+    from ullsam_tpu.ops.resize import bilinear_resize_nhwc
+    x = bilinear_resize_nhwc(image.astype(jnp.float32), input_hw[0],
+                             input_hw[1])
+    emb = S.encode_image(params, cfg,
+                         S.preprocess(x, cfg).astype(compute_dtype))
     n_chunks = points.shape[0] // points_per_batch
     chunks = points.reshape(n_chunks, points_per_batch, 2)
 
@@ -495,7 +502,8 @@ class AutomaticMaskGenerator:
                  crop_n_points_downscale_factor: int = 1,
                  min_mask_region_area: int = 0,
                  output_mode: str = "binary_mask",
-                 max_masks: Optional[int] = None):
+                 max_masks: Optional[int] = None,
+                 compute_dtype=jnp.float32):
         assert output_mode in ("binary_mask", "uncompressed_rle", "coco_rle")
         self.cfg = cfg
         self.params = params
@@ -512,6 +520,10 @@ class AutomaticMaskGenerator:
         self.min_mask_region_area = min_mask_region_area
         self.output_mode = output_mode
         self.max_masks = max_masks
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        if self.compute_dtype != jnp.float32:
+            from ullsam_tpu.core.tree import cast_floating
+            params = cast_floating(params, self.compute_dtype)
         from ullsam_tpu.inference.transforms import ResizeLongestSide
         self.transform = ResizeLongestSide(cfg.vit.img_size)
 
@@ -522,11 +534,12 @@ class AutomaticMaskGenerator:
         """One crop = ONE device dispatch (_amg_device_sweep) + one small
         stats transfer. Returns (MaskData, masks bool [max_out, ch, cw] on
         device, max_out)."""
+        from ullsam_tpu.inference.transforms import get_preprocess_shape
         x0, y0, x1, y1 = crop_box
         cropped = image[y0:y1, x0:x1]
         crop_size = tuple(cropped.shape[:2])
-        resized = self.transform.apply_image(cropped)
-        input_hw = tuple(resized.shape[:2])
+        input_hw = get_preprocess_shape(crop_size[0], crop_size[1],
+                                        self.cfg.vit.img_size)
 
         points_scale = np.array(crop_size)[None, ::-1]  # (w, h)
         points_for_image = self.point_grids[layer_idx] * points_scale
@@ -542,14 +555,15 @@ class AutomaticMaskGenerator:
 
         out = _amg_device_sweep(
             self.params, self.cfg,
-            jnp.asarray(resized, jnp.float32)[None],
+            jnp.asarray(cropped)[None],
             jnp.asarray(in_pts, jnp.float32),
             points_per_batch=ppb, max_out=max_out,
             pred_iou_thresh=self.pred_iou_thresh,
             stability_thresh=self.stability_score_thresh,
             stability_offset=self.stability_score_offset,
             box_nms_thresh=self.box_nms_thresh,
-            input_hw=input_hw, out_hw=crop_size, n_real=n)
+            input_hw=input_hw, out_hw=crop_size, n_real=n,
+            compute_dtype=self.compute_dtype)
 
         # ONE small transfer for all per-mask stats (~max_out floats)
         stats = jax.device_get({k: out[k] for k in
@@ -717,7 +731,7 @@ def bench_amg(points_per_side: int = 32, iters: int = 3,
     gen = AutomaticMaskGenerator(
         cfg, params, points_per_side=points_per_side,
         pred_iou_thresh=0.0, stability_score_thresh=0.0,
-        box_nms_thresh=1.0, max_masks=256)
+        box_nms_thresh=1.0, max_masks=256, compute_dtype=jnp.bfloat16)
     # device-native path: masks are materialized in HBM; only per-mask
     # pixel counts cross the host link (the axon tunnel makes bulk
     # host transfers dominate otherwise)
@@ -727,7 +741,9 @@ def bench_amg(points_per_side: int = 32, iters: int = 3,
     total = 0
     for _ in range(iters):
         masks, data = gen.generate_dense(image)
-        np.asarray(jnp.sum(masks, axis=(1, 2)))  # force materialization
+        # data["areas"] is computed FROM the final masks and already
+        # crossed the host link in _collect -> masks are materialized;
+        # no second sync needed.
         total += int(data["valid"].sum())
     dt = time.perf_counter() - t0
     return total / dt

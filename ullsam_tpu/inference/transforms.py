@@ -36,9 +36,11 @@ class ResizeLongestSide:
         """[H, W, 3] uint8/float -> resized (host, bilinear antialias off)."""
         h, w = image.shape[:2]
         nh, nw = get_preprocess_shape(h, w, self.target_length)
-        out = jax.image.resize(jnp.asarray(image, jnp.float32),
-                               (nh, nw) + image.shape[2:], method="bilinear")
-        out = np.asarray(out)
+        if (nh, nw) == (h, w):
+            return image
+        from ullsam_tpu.ops.resize import bilinear_resize_nhwc
+        out = np.asarray(bilinear_resize_nhwc(
+            jnp.asarray(image, jnp.float32)[None], nh, nw)[0])
         if np.issubdtype(image.dtype, np.integer):
             out = np.clip(np.round(out), 0, 255).astype(image.dtype)
         return out

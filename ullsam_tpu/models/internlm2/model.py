@@ -134,23 +134,34 @@ def causal_mask(attention_mask: Array, q_len: int, kv_len: int,
 
 
 def _layer_body(cfg: InternLM2Config, x: Array, lp: dict, cos: Array,
-                sin: Array, mask: Array,
+                sin: Array, mask,
                 k_cache: Optional[Array] = None,
                 v_cache: Optional[Array] = None,
-                write_index: Optional[Array] = None):
+                write_index: Optional[Array] = None,
+                use_flash: bool = False):
     """One decoder layer (modeling_internlm2.py:609-681 semantics).
 
     If k_cache/v_cache are given ([B, max_len, n_kv, hd]) the new k/v are
     written at write_index and attention runs against the full cache.
     Returns (x_out, new_k, new_v) where new_k/new_v are either the updated
     cache slabs or the per-call k/v (cache-less mode).
+
+    use_flash (cache-less mode only): mask is a (q_seg, kv_seg) tuple and
+    attention dispatches to the Pallas causal GQA kernel.
     """
     h = L.rms_norm(lp["attention_norm"], x, eps=cfg.rms_norm_eps)
     qkv = L.linear(lp["wqkv"], h)
     q, k, v = _split_wqkv(qkv, cfg)
     q, k = apply_rope(q, k, cos, sin)
 
-    if k_cache is not None:
+    if use_flash and k_cache is None:
+        from ullsam_tpu.ops.pallas.flash_attention import llm_flash_attention
+        q_seg, kv_seg = mask
+        attn = llm_flash_attention(q, k, v, q_seg, kv_seg,
+                                   num_kv_heads=cfg.num_key_value_heads,
+                                   causal=True)
+        new_k, new_v = k, v
+    elif k_cache is not None:
         k_cache = jax.lax.dynamic_update_slice_in_dim(
             k_cache, k.astype(k_cache.dtype), write_index, axis=1)
         v_cache = jax.lax.dynamic_update_slice_in_dim(
@@ -197,13 +208,23 @@ def internlm2_forward(
             jnp.cumsum(attention_mask, axis=-1) - 1, 0)
 
     cos, sin = rope_cos_sin(cfg, position_ids, ntk_seq_len=S)
-    mask = causal_mask(attention_mask, S, S)
+
+    # XLA attention runs near-roofline at uLLSAM's ~1.2k sequences (bf16
+    # 24-layer fwd measured ~146 TFLOP/s on v5e); the flash kernel wins
+    # once the S^2 logits stop fitting in fused scratch — long-context only.
+    use_flash = (jax.default_backend() == "tpu" and S >= 2048)
+    if use_flash:
+        seg = attention_mask.astype(jnp.int32)
+        mask = (seg, seg)
+    else:
+        mask = causal_mask(attention_mask, S, S)
 
     stacked = params["layers"]
 
     def body(carry, lp):
         x = carry
-        x_out, _, _ = _layer_body(cfg, x, lp, cos, sin, mask)
+        x_out, _, _ = _layer_body(cfg, x, lp, cos, sin, mask,
+                                  use_flash=use_flash)
         return x_out, (x if output_hidden_states else None)
 
     x, per_layer = jax.lax.scan(body, x, stacked)

@@ -112,12 +112,20 @@ def window_unpartition(windows: Array, window_size: int,
     return x[:, :H, :W, :]
 
 
+def _use_flash(cfg: ViTConfig, n_tokens: int) -> bool:
+    """Use the Pallas kernel for large global-attention grids on TPU."""
+    if jax.default_backend() != "tpu":
+        return False
+    return n_tokens >= 1024 and n_tokens % 512 == 0
+
+
 def _vit_attention(params: dict, x: Array, cfg: ViTConfig) -> Array:
     """Multi-head self-attention over an [B,H,W,C] token grid.
 
     Heads are folded into the batch dim ([B*nh, N, hd]) so the decomposed
     rel-pos einsums apply per-head exactly as the reference
-    (image_encoder.py:224-240).
+    (image_encoder.py:224-240). Large global grids dispatch to the Pallas
+    flash kernel with the bias kept in factored (rel_h, rel_w) form.
     """
     B, H, W, C = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
@@ -126,12 +134,19 @@ def _vit_attention(params: dict, x: Array, cfg: ViTConfig) -> Array:
     qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * nh, H * W, hd)
     q, k, v = qkv[0], qkv[1], qkv[2]
 
-    bias = None
-    if cfg.use_rel_pos:
-        bias = A.decomposed_rel_pos_bias(
+    if cfg.use_rel_pos and _use_flash(cfg, H * W):
+        from ullsam_tpu.ops.pallas.flash_attention import vit_flash_attention
+        rel_h, rel_w = A.decomposed_rel_pos_terms(
             q, params["rel_pos_h"], params["rel_pos_w"], (H, W), (H, W))
-
-    out = A.attention(q, k, v, bias=bias, scale=hd ** -0.5)
+        rel_h = rel_h.reshape(B * nh, H * W, H)
+        rel_w = rel_w.reshape(B * nh, H * W, W)
+        out = vit_flash_attention(q, k, v, rel_h, rel_w)
+    else:
+        bias = None
+        if cfg.use_rel_pos:
+            bias = A.decomposed_rel_pos_bias(
+                q, params["rel_pos_h"], params["rel_pos_w"], (H, W), (H, W))
+        out = A.attention(q, k, v, bias=bias, scale=hd ** -0.5)
     out = out.reshape(B, nh, H, W, hd).transpose(0, 2, 3, 1, 4).reshape(B, H, W, C)
     return L.linear(params["proj"], out)
 

@@ -1,0 +1,280 @@
+"""Pallas TPU flash-attention kernels.
+
+Two variants cover the reference's external flash-attn dependency
+(SURVEY §2.9) the TPU way:
+
+  * vit_flash_attention — non-causal, with the ViTDet DECOMPOSED relative
+    position bias consumed in FACTORED form (rel_h [B,N,Kh] + rel_w
+    [B,N,Kw], image_encoder.py:325-361): each k-tile's bias block is
+    reconstructed on the fly from two skinny tensors, so the [N, N] bias is
+    never materialized in HBM (for ViT-B global layers that is 12x4096^2
+    floats per image saved).
+  * llm_flash_attention — causal + GQA + segment-ids (the varlen
+    replacement, modeling_internlm2.py:509-561), O(S) memory.
+
+Both use the standard online-softmax recurrence with fp32 accumulators in
+VMEM scratch, k-tiles iterated in the innermost (sequential) grid dim.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# ViT: non-causal + factored decomposed rel-pos bias
+# ---------------------------------------------------------------------------
+
+
+def _vit_kernel(q_ref, k_ref, v_ref, rhw_ref, o_ref,
+                m_scr, l_scr, acc_scr, *, kh: int, kw: int, block_k: int):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                      # [TQ, D] (pre-scaled)
+    k = k_ref[0]                      # [TK, D]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [TQ, TK]
+
+    # factored rel-pos bias for this k tile. Key index within the tile:
+    # kj -> grid row ik*rows + kj//kw, grid col kj%kw. The bias block is
+    # ONE matmul: [rel_h | rel_w] @ sel, where sel is a dynamic-content
+    # one-hot selector built from iotas (Mosaic cannot reshape lane dims
+    # or slice them at non-128 offsets, but a 128-wide dot is native).
+    rows_per_tile = block_k // kw
+    rhw = rhw_ref[0]                  # [TQ, KH + KW]
+    hsel_rows = jax.lax.broadcasted_iota(jnp.int32, (kh + kw, block_k), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (kh + kw, block_k), 1)
+    h_onehot = hsel_rows == (ik * rows_per_tile + kj // kw)
+    w_onehot = hsel_rows == (kh + kj % kw)
+    sel = (h_onehot | w_onehot).astype(jnp.float32)
+    bias = jax.lax.dot_general(rhw, sel, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    logits = logits + bias
+
+    m_prev = m_scr[:, 0:1]                               # [TQ, 1]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)      # [TQ, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(logits - m_new)                          # [TQ, TK]
+    alpha = jnp.exp(m_prev - m_new)                      # [TQ, 1]
+    l_new = alpha * l_scr[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / l_scr[:, 0:1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def vit_flash_attention(q: Array, k: Array, v: Array, rel_h: Array,
+                        rel_w: Array, block_q: int = 512,
+                        block_k: int = 512) -> Array:
+    """Flash attention with decomposed rel-pos bias.
+
+    q, k, v: [B, N, D] (B = batch*heads folded), N = kh*kw grid tokens.
+    rel_h: [B, N, KH], rel_w: [B, N, KW] fp32 bias factors
+    (bias[b, i, kh*KW + kw] = rel_h[b, i, kh] + rel_w[b, i, kw]).
+    Returns [B, N, D]. Scale (1/sqrt(D)) must be pre-applied to q or folded
+    into rel factors by the caller... it is applied here to q.
+    """
+    B, N, D = q.shape
+    KH = rel_h.shape[-1]
+    KW = rel_w.shape[-1]
+    assert KH * KW == N, (KH, KW, N)
+    assert N % block_q == 0 and N % block_k == 0
+    assert block_k % KW == 0, "k tile must cover whole key-grid rows"
+
+    q = (q * (D ** -0.5)).astype(q.dtype)
+    grid = (B, N // block_q, N // block_k)
+    rel_hw = jnp.concatenate([rel_h, rel_w], axis=-1).astype(jnp.float32)
+
+    kernel = functools.partial(_vit_kernel, kh=KH, kw=KW, block_k=block_k)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_q, KH + KW),
+                         lambda b, iq, ik: (b, iq, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+    )(q, k, v, rel_hw)
+
+
+# ---------------------------------------------------------------------------
+# LLM: causal + GQA + segment ids
+# ---------------------------------------------------------------------------
+
+
+def _llm_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref,
+                m_scr, l_scr, acc_scr, *, block_q: int, block_k: int,
+                causal: bool):
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [TQ, TK]
+
+        q_pos = (iq * block_q
+                 + jax.lax.broadcasted_iota(jnp.int32,
+                                            (block_q, block_k), 0))
+        k_pos = (ik * block_k
+                 + jax.lax.broadcasted_iota(jnp.int32,
+                                            (block_q, block_k), 1))
+        mask = qseg_ref[0][:, None] == kseg_ref[0][None, :]  # [TQ, TK]
+        if causal:
+            mask = jnp.logical_and(mask, q_pos >= k_pos)
+        logits = jnp.where(mask, logits, NEG_INF)
+
+        m_prev = m_scr[:, 0:1]
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(logits - m_new)
+        # fully-masked rows: keep p at 0 (m_new = NEG_INF -> exp(0)=1 bug
+        # guard): where m_new is NEG_INF the row has no valid key yet.
+        p = jnp.where(m_new > NEG_INF / 2, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        alpha = jnp.where(m_prev > NEG_INF / 2, alpha, 0.0)
+        l_new = alpha * l_scr[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    if causal:
+        # skip k tiles entirely above the diagonal
+        pl.when((ik * block_k) <= (iq * block_q + block_q - 1))(_compute)
+    else:
+        _compute()
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        l = l_scr[:, 0:1]
+        o_ref[0, 0] = jnp.where(
+            l > 0, acc_scr[:] / jnp.maximum(l, 1e-30), 0.0
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("causal", "block_q", "block_k",
+                                    "num_kv_heads"))
+def llm_flash_attention(q: Array, k: Array, v: Array,
+                        q_segment_ids: Array, kv_segment_ids: Array,
+                        num_kv_heads: int, causal: bool = True,
+                        block_q: int = 256, block_k: int = 256) -> Array:
+    """Causal GQA flash attention with segment-id masking.
+
+    q: [B, S, nh, D]; k, v: [B, S, n_kv, D]; segment ids [B, S] int32
+    (0 = padding; tokens attend only within equal nonzero segments).
+    Returns [B, S, nh, D]. Scale is applied internally.
+    """
+    B, S, nh, D = q.shape
+    n_kv = k.shape[2]
+    group = nh // num_kv_heads
+    assert n_kv == num_kv_heads
+
+    # pad S to a tile multiple
+    Sp = ((S + block_q - 1) // block_q) * block_q
+    Sp = ((Sp + block_k - 1) // block_k) * block_k
+    if Sp != S:
+        pad = Sp - S
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        q_segment_ids = jnp.pad(q_segment_ids, ((0, 0), (0, pad)))
+        kv_segment_ids = jnp.pad(kv_segment_ids, ((0, 0), (0, pad)))
+
+    qt = (q * (D ** -0.5)).transpose(0, 2, 1, 3)   # [B, nh, Sp, D]
+    kt = k.transpose(0, 2, 1, 3)                   # [B, n_kv, Sp, D]
+    vt = v.transpose(0, 2, 1, 3)
+
+    grid = (B, nh, Sp // block_q, Sp // block_k)
+
+    kernel = functools.partial(_llm_kernel, block_q=block_q,
+                               block_k=block_k, causal=causal)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q), lambda b, h, iq, ik: (b, iq)),
+            pl.BlockSpec((1, block_k), lambda b, h, iq, ik: (b, ik)),
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, iq, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, iq, ik: (b, h // group, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, iq, ik: (b, h // group, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D),
+                               lambda b, h, iq, ik: (b, h, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, nh, Sp, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+    )(q_segment_ids.astype(jnp.int32), kv_segment_ids.astype(jnp.int32),
+      qt, kt, vt)
+
+    out = out.transpose(0, 2, 1, 3)
+    return out[:, :S]
+
+
+def reference_attention(q, k, v, q_seg, kv_seg, num_kv_heads, causal=True):
+    """XLA reference for kernel tests: same signature/semantics."""
+    B, S, nh, D = q.shape
+    group = nh // num_kv_heads
+    k = jnp.repeat(k, group, axis=2)
+    v = jnp.repeat(v, group, axis=2)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (D ** -0.5)
+    mask = (q_seg[:, None, :, None] == kv_seg[:, None, None, :])
+    if causal:
+        ii = jnp.arange(S)
+        mask = jnp.logical_and(mask, ii[:, None] >= ii[None, :])
+    logits = jnp.where(mask, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)

@@ -93,3 +93,16 @@ def sam_postprocess_resize(masks: Array, model_size: int,
     mh = sam_postprocess_matrix(low_h, model_size, input_hw[0], out_hw[0])
     mw = sam_postprocess_matrix(low_w, model_size, input_hw[1], out_hw[1])
     return resize2d(masks, mh, mw, compute_dtype=compute_dtype)
+
+
+def bilinear_resize_nhwc(x: Array, out_h: int, out_w: int,
+                         compute_dtype=jnp.float32) -> Array:
+    """[B, H, W, C] -> [B, out_h, out_w, C] bilinear (torch semantics)."""
+    if (out_h, out_w) == (x.shape[1], x.shape[2]):
+        return x
+    mh = jnp.asarray(_bilinear_matrix(out_h, x.shape[1]), compute_dtype)
+    mw = jnp.asarray(_bilinear_matrix(out_w, x.shape[2]), compute_dtype)
+    y = jnp.einsum("ih,bhwc->biwc", mh, x.astype(compute_dtype),
+                   preferred_element_type=jnp.float32).astype(compute_dtype)
+    return jnp.einsum("jw,biwc->bijc", mw, y,
+                      preferred_element_type=jnp.float32)
