@@ -69,11 +69,29 @@ def param_specs(params) -> dict:
     return map_with_paths(lambda p, x: param_spec(p, np.ndim(x)), params)
 
 
+def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Drop sharded axes whose dimension isn't divisible by the mesh axis
+    size (e.g. the 92553 vocab under tp=2) — replicate those dims instead."""
+    out = []
+    for i, axis in enumerate(spec):
+        if axis is None:
+            out.append(None)
+            continue
+        size = mesh.shape[axis]
+        if i < len(shape) and shape[i] % size == 0:
+            out.append(axis)
+        else:
+            out.append(None)
+    return P(*out)
+
+
 def shard_params(params, mesh: Mesh):
     """device_put each param with its NamedSharding."""
     specs = param_specs(params)
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, _fit_spec(s, np.shape(x), mesh))),
+        params, specs)
 
 
 def shard_batch(batch, mesh: Mesh):
