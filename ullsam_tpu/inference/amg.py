@@ -308,7 +308,8 @@ def remove_small_regions(mask: np.ndarray, area_thresh: float, mode: str
             raise ImportError
     except ImportError:
         from scipy import ndimage
-        labels, n = ndimage.label(working)
+        # 8-connectivity to match the reference's cv2 default
+        labels, n = ndimage.label(working, structure=np.ones((3, 3)))
     sizes = np.bincount(labels.ravel(), minlength=n + 1)[1:]
     small = [i + 1 for i, s in enumerate(sizes) if s < area_thresh]
     if not small:
