@@ -335,3 +335,51 @@ def internlm2_decode_step(params: dict, cfg: InternLM2Config,
     last_hidden = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
     logits = L.linear(params["output"], last_hidden)[:, 0, :]
     return logits, KVCache(k=new_k, v=new_v, mask=new_mask, index=slot + 1)
+
+
+def internlm2_decode_step_multi(params: dict, cfg: InternLM2Config,
+                                token_embeds: Array, cache: KVCache,
+                                active: Array) -> Tuple[Array, KVCache]:
+    """Continuous-batching decode step: PER-ROW write positions.
+
+    Rows must be right-padded (tokens packed at slots [0, len)); each
+    active row writes its token at slot len_b = sum(mask[b]). Inactive
+    rows are ignored (their mask is not advanced, so a later admit can
+    overwrite the slot). token_embeds [B, 1, H]; active [B] bool.
+    Returns (logits [B, V], cache).
+    """
+    B = token_embeds.shape[0]
+    rows = jnp.arange(B)
+    pos = jnp.sum(cache.mask, axis=-1)            # [B] next free slot
+    position_ids = pos[:, None]                   # rope positions
+    max_len = cache.k.shape[2]
+    cos, sin = rope_cos_sin(cfg, position_ids, ntk_seq_len=max_len)
+
+    new_mask = cache.mask.at[rows, pos].set(
+        jnp.where(active, 1, cache.mask[rows, pos]))
+    attn_mask = jnp.where(new_mask[:, None, :].astype(bool), 0.0, NEG_INF)
+
+    x = token_embeds
+
+    def body(carry, xs):
+        x = carry
+        lp, kc, vc = xs
+        h = L.rms_norm(lp["attention_norm"], x, eps=cfg.rms_norm_eps)
+        qkv = L.linear(lp["wqkv"], h)
+        q, k, v = _split_wqkv(qkv, cfg)
+        q, k = apply_rope(q, k, cos, sin)
+        kc = kc.at[rows, pos].set(k[:, 0].astype(kc.dtype))
+        vc = vc.at[rows, pos].set(v[:, 0].astype(vc.dtype))
+        attn = gqa_attention(q, kc.astype(q.dtype), vc.astype(q.dtype),
+                             attn_mask, cfg)
+        x = x + L.linear(lp["wo"], attn.reshape(B, 1, cfg.hidden_size))
+        h = L.rms_norm(lp["ffn_norm"], x, eps=cfg.rms_norm_eps)
+        x = x + L.swiglu(lp, h)
+        return x, (kc, vc)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"],
+                                               cache.k, cache.v))
+    last_hidden = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+    logits = L.linear(params["output"], last_hidden)[:, 0, :]
+    return logits, KVCache(k=new_k, v=new_v, mask=new_mask,
+                           index=cache.index)

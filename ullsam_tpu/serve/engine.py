@@ -1,0 +1,222 @@
+"""Continuous-batching generation engine (BASELINE config #5).
+
+The reference serves one Gradio session at a time with a fresh HF generate
+loop per request (app.py:431-495). Here concurrent caption/chat requests
+share ONE fixed-shape multi-slot KV cache: each request prefills into a
+free slot (right-packed), and a single jitted decode step advances ALL
+active slots per token. New requests are admitted between steps — classic
+continuous batching, fixed shapes throughout (no recompiles after warmup).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import queue
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ullsam_tpu.core.config import FusionConfig
+from ullsam_tpu.models.internlm2 import model as LLM
+from ullsam_tpu.models.internlm2.generate import (GenerationConfig,
+                                                  sample_token)
+from ullsam_tpu.models.ullsam import fusion as F
+from ullsam_tpu.models.ullsam.conversation import (build_chat_prompt,
+                                                   get_conv_template)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _prefill_row(params, cfg: FusionConfig, input_ids, attention_mask,
+                 pixel_values, cache_row: LLM.KVCache):
+    """Prefill ONE request (B=1, right-packed) into a single-row cache.
+    pixel_values may be None (text-only)."""
+    embeds = LLM.embed_tokens(params["llm"], input_ids)
+    if pixel_values is not None:
+        vit_tokens, _ = F.extract_feature(params, cfg, pixel_values)
+        embeds = F.scatter_image_embeds(input_ids, embeds, vit_tokens,
+                                        cfg.img_context_token_id)
+    out, cache_row = LLM.internlm2_prefill(params["llm"], cfg.llm, embeds,
+                                           attention_mask, cache_row)
+    from ullsam_tpu.models.internlm2.generate import last_valid_index
+    idx = last_valid_index(attention_mask)
+    logits = out["logits"][jnp.arange(1), idx]
+    return logits, cache_row
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _splice_slot(cache: LLM.KVCache, row: LLM.KVCache, slot) -> LLM.KVCache:
+    """Install a prefilled single-row cache into shared slot `slot`."""
+    return LLM.KVCache(
+        k=jax.lax.dynamic_update_slice_in_dim(cache.k, row.k, slot, axis=1),
+        v=jax.lax.dynamic_update_slice_in_dim(cache.v, row.v, slot, axis=1),
+        mask=jax.lax.dynamic_update_slice_in_dim(cache.mask, row.mask, slot,
+                                                 axis=0),
+        index=cache.index)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "gen"))
+def _engine_step(params, cfg: FusionConfig, gen: GenerationConfig,
+                 tokens, cache: LLM.KVCache, active, rng):
+    """One continuous-batching decode step for all slots."""
+    embeds = LLM.embed_tokens(params["llm"], tokens)[:, None, :]
+    logits, cache = LLM.internlm2_decode_step_multi(
+        params["llm"], cfg.llm, embeds, cache, active)
+    rng, step_rng = jax.random.split(rng)
+    nxt = sample_token(logits, gen, step_rng).astype(jnp.int32)
+    nxt = jnp.where(active, nxt, gen.pad_token_id)
+    return nxt, cache, rng
+
+
+@dataclasses.dataclass
+class _Request:
+    input_ids: np.ndarray        # [S] right-packed
+    pixel_values: Optional[np.ndarray]
+    max_new_tokens: int
+    event: threading.Event = dataclasses.field(default_factory=threading.Event)
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    error: Optional[Exception] = None
+
+
+class GenerationEngine:
+    """Thread-safe continuous-batching engine over the fusion model."""
+
+    def __init__(self, params, cfg: FusionConfig, tokenizer,
+                 max_batch: int = 4, max_len: int = 2560,
+                 gen: Optional[GenerationConfig] = None,
+                 cache_dtype=jnp.bfloat16, seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.max_batch = max_batch
+        self.max_len = max_len
+        template = get_conv_template(cfg.template)
+        eos = tokenizer.convert_tokens_to_ids(template.sep.strip())
+        base = gen or GenerationConfig(max_new_tokens=256)
+        self.gen = dataclasses.replace(base, eos_token_id=eos,
+                                       pad_token_id=tokenizer.pad_token_id)
+        self.cache = LLM.init_cache(cfg.llm, max_batch, max_len,
+                                    dtype=cache_dtype)
+        self.rng = jax.random.PRNGKey(seed)
+        self.slots: List[Optional[_Request]] = [None] * max_batch
+        self.slot_budget = [0] * max_batch
+        self.cur_tokens = np.full((max_batch,), self.gen.pad_token_id,
+                                  np.int32)
+        self.queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    # -- public API -------------------------------------------------------
+
+    def caption(self, pixel_values: Optional[np.ndarray], question: str,
+                max_new_tokens: int = 256, timeout: float = 600.0) -> str:
+        """Blocking chat/caption request (thread-safe, batched)."""
+        prompt = build_chat_prompt(self.cfg.template, question,
+                                   num_image_token=self.cfg.num_image_token,
+                                   has_image=pixel_values is not None)
+        ids = self.tokenizer.encode(prompt)
+        if len(ids) + max_new_tokens > self.max_len:
+            raise ValueError(f"prompt too long ({len(ids)} tokens)")
+        req = _Request(np.asarray(ids, np.int32), pixel_values,
+                       max_new_tokens)
+        req.real_len = len(ids)
+        self.queue.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if req.error is not None:
+            raise req.error
+        sep = get_conv_template(self.cfg.template).sep.strip()
+        text = self.tokenizer.decode(req.tokens)
+        return text.split(sep)[0].strip()
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=10)
+
+    # -- internals --------------------------------------------------------
+
+    def _admit(self, slot: int, req: _Request):
+        # bucket the prompt length to a multiple of 128 so _prefill_row
+        # compiles once per bucket, not once per prompt length
+        real = len(req.input_ids)
+        S = ((real + 127) // 128) * 128
+        padded = np.full((S,), self.gen.pad_token_id, np.int32)
+        padded[:real] = req.input_ids
+        ids = jnp.asarray(padded[None])
+        m = np.zeros((1, S), np.int32)
+        m[0, :real] = 1
+        mask = jnp.asarray(m)
+        pv = (None if req.pixel_values is None
+              else jnp.asarray(req.pixel_values))
+        row_cache = LLM.init_cache(self.cfg.llm, 1, self.max_len,
+                                   dtype=self.cache.k.dtype)
+        logits, row_cache = _prefill_row(self.params, self.cfg, ids, mask,
+                                         pv, row_cache)
+        self.rng, srng = jax.random.split(self.rng)
+        tok = int(np.asarray(sample_token(logits, self.gen, srng))[0])
+        self.cache = _splice_slot(self.cache, row_cache,
+                                  jnp.asarray(slot, jnp.int32))
+        self.slots[slot] = req
+        self.slot_budget[slot] = req.max_new_tokens - 1
+        self.cur_tokens[slot] = tok
+        req.tokens.append(tok)
+        if tok == self.gen.eos_token_id or req.max_new_tokens <= 1:
+            self._finish(slot)
+
+    def _finish(self, slot: int):
+        req = self.slots[slot]
+        self.slots[slot] = None
+        # free the slot: zero its mask so a new request can overwrite
+        self.cache = LLM.KVCache(
+            k=self.cache.k, v=self.cache.v,
+            mask=self.cache.mask.at[slot].set(0), index=self.cache.index)
+        if req is not None:
+            req.event.set()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            # admit as many queued requests as there are free slots
+            admitted = False
+            for slot in range(self.max_batch):
+                if self.slots[slot] is None and not self.queue.empty():
+                    try:
+                        req = self.queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    try:
+                        self._admit(slot, req)
+                        admitted = True
+                    except Exception as e:  # surface errors to the caller
+                        req.error = e
+                        req.event.set()
+            active_slots = [i for i in range(self.max_batch)
+                            if self.slots[i] is not None]
+            if not active_slots:
+                if not admitted:
+                    try:
+                        req = self.queue.get(timeout=0.05)
+                        self.queue.put(req)  # re-enqueue; admit next loop
+                    except queue.Empty:
+                        pass
+                continue
+
+            active = np.zeros((self.max_batch,), bool)
+            active[active_slots] = True
+            nxt, self.cache, self.rng = _engine_step(
+                self.params, self.cfg, self.gen,
+                jnp.asarray(self.cur_tokens), self.cache,
+                jnp.asarray(active), self.rng)
+            nxt = np.array(nxt)  # copy: np.asarray(jax) is read-only
+            for slot in active_slots:
+                tok = int(nxt[slot])
+                req = self.slots[slot]
+                req.tokens.append(tok)
+                self.slot_budget[slot] -= 1
+                if tok == self.gen.eos_token_id or self.slot_budget[slot] <= 0:
+                    self._finish(slot)
+            self.cur_tokens = nxt
