@@ -15,11 +15,14 @@ import time
 
 import numpy as np
 
-# Provisional reference-path estimate: SAM ViT-B interactive path on the
-# reference's serving GPU. app.py prints t_mllm/t_sam at runtime but the
-# repo records no values (BASELINE.md); 15 masks/s is a conservative
-# estimate for the torch fp16 single-prompt loop it implements.
-REF_BASELINE_MASKS_PER_SEC = 15.0
+# Provisional reference-path estimate for the BASELINE.json metric
+# (ViT-H AMG masks/sec on the reference GPU path). The repo records no
+# values (BASELINE.md); the torch SAM ViT-H AMG loop (encode ~0.4s + 1024
+# prompts decoded in 64-point batches + full-res filtering) lands around
+# 3-6 s/image on an A100 for ~256 committed masks => ~50 masks/s is a
+# generous estimate. Treat vs_baseline as provisional until a measured
+# reference number exists.
+REF_BASELINE_MASKS_PER_SEC = 50.0
 
 
 def bench_point_masks(n_prompts: int = 64, iters: int = 5):
@@ -66,8 +69,8 @@ def bench_point_masks(n_prompts: int = 64, iters: int = 5):
 def main():
     try:
         from ullsam_tpu.inference.amg import bench_amg  # noqa: F401
-        value = bench_amg()
-        metric, unit = "amg_masks_per_sec_vitb", "masks/s/chip"
+        value = bench_amg(variant="vit_h")
+        metric, unit = "amg_masks_per_sec_vith", "masks/s/chip"
     except ImportError:
         value = bench_point_masks()
         metric, unit = "point_prompt_masks_per_sec_vitb", "masks/s/chip"
