@@ -12,8 +12,9 @@ from ullsam_tpu.core.tree import flatten_with_paths
 from ullsam_tpu.models.ullsam import fusion as F
 from ullsam_tpu.parallel.partitioning import (create_mesh, shard_batch,
                                               shard_params)
-from ullsam_tpu.train.step import (TrainConfig, make_optimizer,
-                                   make_train_step, seg_loss_fn,
+from ullsam_tpu.train.step import (TrainConfig, combine_params,
+                                   make_train_step,
+                                   make_trainable_optimizer, seg_loss_fn,
                                    trainable_mask)
 
 CFG = FusionConfig(
@@ -63,13 +64,14 @@ def make_batch(batch_size=2, n_inst=3, n_pts=2, seed=0):
 
 def test_train_step_runs_and_loss_decreases():
     params = F.fusion_init(jax.random.PRNGKey(0), CFG)
-    tx = make_optimizer(params, TCFG)
-    opt_state = tx.init(params)
+    tx, trainable, frozen = make_trainable_optimizer(params, TCFG)
+    opt_state = tx.init(trainable)
     step = make_train_step(CFG, TCFG, tx, donate=False)
     batch = jax.tree_util.tree_map(jnp.asarray, make_batch())
     losses = []
     for _ in range(5):
-        params, opt_state, metrics = step(params, opt_state, batch)
+        trainable, opt_state, metrics = step(trainable, frozen, opt_state,
+                                             batch)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
@@ -78,15 +80,16 @@ def test_train_step_runs_and_loss_decreases():
 
 def test_frozen_params_unchanged():
     params = F.fusion_init(jax.random.PRNGKey(0), CFG)
-    tx = make_optimizer(params, TCFG)
-    opt_state = tx.init(params)
+    tx, trainable, frozen = make_trainable_optimizer(params, TCFG)
+    opt_state = tx.init(trainable)
     step = make_train_step(CFG, TCFG, tx, donate=False)
     batch = jax.tree_util.tree_map(jnp.asarray, make_batch())
     before = flatten_with_paths(jax.tree_util.tree_map(np.asarray, params))
     # two steps: the warmup schedule makes the very first update lr=0
-    params2, opt_state, _ = step(params, opt_state, batch)
-    params2, _, _ = step(params2, opt_state, batch)
-    after = flatten_with_paths(jax.tree_util.tree_map(np.asarray, params2))
+    t2, opt_state, _ = step(trainable, frozen, opt_state, batch)
+    t2, _, _ = step(t2, frozen, opt_state, batch)
+    after = flatten_with_paths(jax.tree_util.tree_map(
+        np.asarray, combine_params(t2, frozen)))
     mask = flatten_with_paths(trainable_mask(params, TCFG))
     changed_frozen = [p for p, m in mask.items()
                       if not m and not np.array_equal(before[p], after[p])]
@@ -100,7 +103,6 @@ def test_frozen_params_unchanged():
 def test_data_parallel_matches_single_device():
     params = F.fusion_init(jax.random.PRNGKey(0), CFG)
     tcfg = TrainConfig(learning_rate=1e-3, total_steps=100)
-    tx = make_optimizer(params, tcfg)
     batch = jax.tree_util.tree_map(jnp.asarray, make_batch(batch_size=2))
 
     # single device
@@ -120,13 +122,13 @@ def test_data_parallel_matches_single_device():
 def test_full_train_step_on_mesh():
     """One full sharded train step compiles and executes on the 8-CPU mesh."""
     params = F.fusion_init(jax.random.PRNGKey(1), CFG)
-    tx = make_optimizer(params, TCFG)
     mesh = create_mesh(dp=4, tp=2)
     p = shard_params(params, mesh)
-    opt_state = tx.init(p)
+    tx, trainable, frozen = make_trainable_optimizer(p, TCFG)
+    opt_state = tx.init(trainable)
     batch = shard_batch(jax.tree_util.tree_map(
         jnp.asarray, make_batch(batch_size=4)), mesh)
     step = make_train_step(CFG, TCFG, tx, donate=False)
     with jax.sharding.set_mesh(mesh):
-        p2, opt2, metrics = step(p, opt_state, batch)
+        t2, opt2, metrics = step(trainable, frozen, opt_state, batch)
     assert np.isfinite(float(metrics["loss"]))

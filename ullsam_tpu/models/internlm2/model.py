@@ -189,6 +189,7 @@ def internlm2_forward(
     attention_mask: Optional[Array] = None,
     position_ids: Optional[Array] = None,
     output_hidden_states: bool = False,
+    remat: bool = False,
 ) -> dict:
     """Full-sequence forward. Returns dict with 'logits' [B,S,V],
     'last_hidden' [B,S,H] (post final norm), and optionally
@@ -227,6 +228,8 @@ def internlm2_forward(
                                   use_flash=use_flash)
         return x_out, (x if output_hidden_states else None)
 
+    if remat:
+        body = jax.checkpoint(body)  # trade FLOPs for activation memory
     x, per_layer = jax.lax.scan(body, x, stacked)
     last_hidden = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
     logits = L.linear(params["output"], last_hidden)

@@ -165,7 +165,8 @@ def _block_apply(params: dict, x: Array, cfg: ViTConfig, window_size: int) -> Ar
                                                        eps=cfg.ln_eps))
 
 
-def image_encoder_apply(params: dict, x: Array, cfg: ViTConfig) -> Array:
+def image_encoder_apply(params: dict, x: Array, cfg: ViTConfig,
+                        remat: bool = False) -> Array:
     """x: [B, img, img, 3] NHWC -> [B, grid, grid, out_chans] NHWC."""
     x = L.conv2d(params["patch_embed"], x,
                  stride=(cfg.patch_size, cfg.patch_size))  # [B, g, g, C]
@@ -173,7 +174,11 @@ def image_encoder_apply(params: dict, x: Array, cfg: ViTConfig) -> Array:
         x = x + params["pos_embed"].astype(x.dtype)
     for i, blk in enumerate(params["blocks"]):
         ws = 0 if i in cfg.global_attn_indexes else cfg.window_size
-        x = _block_apply(blk, x, cfg, ws)
+        if remat:
+            x = jax.checkpoint(
+                lambda p, y, w=ws: _block_apply(p, y, cfg, w))(blk, x)
+        else:
+            x = _block_apply(blk, x, cfg, ws)
     # neck: 1x1 conv -> LN(channel) -> 3x3 conv(same) -> LN(channel)
     n = params["neck"]
     x = L.conv2d(n["conv1"], x)

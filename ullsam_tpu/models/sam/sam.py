@@ -45,9 +45,11 @@ def preprocess(images: Array, cfg: SamConfig) -> Array:
     return jnp.pad(x, ((0, 0), (0, size - H), (0, size - W), (0, 0)))
 
 
-def encode_image(params: dict, cfg: SamConfig, images: Array) -> Array:
+def encode_image(params: dict, cfg: SamConfig, images: Array,
+                 remat: bool = False) -> Array:
     """[B, 1024, 1024, 3] -> [B, 64, 64, 256] NHWC."""
-    return IE.image_encoder_apply(params["image_encoder"], images, cfg.vit)
+    return IE.image_encoder_apply(params["image_encoder"], images, cfg.vit,
+                                  remat=remat)
 
 
 def decode_masks(

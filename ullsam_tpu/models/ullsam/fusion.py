@@ -105,14 +105,16 @@ def pixel_unshuffle(x: Array, scale: float, ps_version: str = "v2") -> Array:
 
 
 def extract_feature(params: dict, cfg: FusionConfig, pixel_values: Array,
-                    stop_vision_gradient: bool = True) -> Tuple[Array, Array]:
+                    stop_vision_gradient: bool = True,
+                    remat: bool = False) -> Tuple[Array, Array]:
     """pixel_values [B, S, S, 3] -> (vit_tokens [B, T, llm_hidden],
     sam_features [B, 64, 64, 256]).
 
     Reference: modeling_internvl_sam.py:242-251 (vision tower under no_grad,
     pixel shuffle, mlp1).
     """
-    feats = SAM.encode_image(params["sam"], cfg.sam, pixel_values)
+    feats = SAM.encode_image(params["sam"], cfg.sam, pixel_values,
+                             remat=remat)
     if stop_vision_gradient:
         feats = jax.lax.stop_gradient(feats)
     x = pixel_shuffle(feats, cfg.downsample_ratio, cfg.ps_version)
@@ -185,6 +187,7 @@ def fusion_forward(
     labels: Optional[Array] = None,
     output_dense_prompt: bool = False,
     stop_vision_gradient: bool = True,
+    remat: bool = False,
 ) -> dict:
     """One fused forward (reference forward, modeling_internvl_sam.py:106-224).
 
@@ -198,13 +201,15 @@ def fusion_forward(
         vision pass, train_joint_v2.py:1014-1021)
     """
     vit_tokens, sam_feats = extract_feature(
-        params, cfg, pixel_values, stop_vision_gradient=stop_vision_gradient)
+        params, cfg, pixel_values, stop_vision_gradient=stop_vision_gradient,
+        remat=remat)
     embeds = LLM.embed_tokens(params["llm"], input_ids)
     embeds = scatter_image_embeds(input_ids, embeds, vit_tokens,
                                   cfg.img_context_token_id)
     out = LLM.internlm2_forward(params["llm"], cfg.llm,
                                 inputs_embeds=embeds,
-                                attention_mask=attention_mask)
+                                attention_mask=attention_mask,
+                                remat=remat)
     result = {"logits": out["logits"], "image_embeddings": sam_feats}
 
     if labels is not None:

@@ -86,7 +86,20 @@ def _vit_kernel(q_ref, k_ref, v_ref, rhw_ref, o_ref,
         o_ref[0] = (acc_scr[:] / l_scr[:, 0:1]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _vit_attention_xla(q: Array, k: Array, v: Array, rel_h: Array,
+                       rel_w: Array) -> Array:
+    """Reference math used for the backward pass (bias materialized)."""
+    B, N, D = q.shape
+    KH, KW = rel_h.shape[-1], rel_w.shape[-1]
+    bias = (rel_h[..., :, None] + rel_w[..., None, :]).reshape(B, N, N)
+    logits = jnp.einsum("bqd,bkd->bqk", q, k,
+                        preferred_element_type=jnp.float32) * (D ** -0.5)
+    probs = jax.nn.softmax(logits + bias.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def vit_flash_attention(q: Array, k: Array, v: Array, rel_h: Array,
                         rel_w: Array, block_q: int = 512,
                         block_k: int = 512) -> Array:
@@ -105,7 +118,7 @@ def vit_flash_attention(q: Array, k: Array, v: Array, rel_h: Array,
     assert N % block_q == 0 and N % block_k == 0
     assert block_k % KW == 0, "k tile must cover whole key-grid rows"
 
-    q = (q * (D ** -0.5)).astype(q.dtype)
+    qs = (q * (D ** -0.5)).astype(q.dtype)
     grid = (B, N // block_q, N // block_k)
     rel_hw = jnp.concatenate([rel_h, rel_w], axis=-1).astype(jnp.float32)
 
@@ -127,7 +140,24 @@ def vit_flash_attention(q: Array, k: Array, v: Array, rel_h: Array,
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, D), jnp.float32),
         ],
-    )(q, k, v, rel_hw)
+    )(qs, k, v, rel_hw)
+
+
+def _vit_flash_fwd(q, k, v, rel_h, rel_w, block_q, block_k):
+    out = vit_flash_attention(q, k, v, rel_h, rel_w, block_q, block_k)
+    return out, (q, k, v, rel_h, rel_w)
+
+
+def _vit_flash_bwd(block_q, block_k, res, g):
+    """Backward via the XLA reference math: exact gradients, pays the
+    materialized-bias memory only in training. (A fused flash backward
+    kernel is a later optimization.)"""
+    q, k, v, rel_h, rel_w = res
+    _, vjp = jax.vjp(_vit_attention_xla, q, k, v, rel_h, rel_w)
+    return vjp(g)
+
+
+vit_flash_attention.defvjp(_vit_flash_fwd, _vit_flash_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -116,8 +116,9 @@ def main(argv=None):
                                                   shard_params)
     from ullsam_tpu.train.checkpoint import CheckpointManager
     from ullsam_tpu.train.metrics import MetricWriter, StepTimer
-    from ullsam_tpu.train.step import (TrainConfig, make_optimizer,
-                                       make_train_step, trainable_mask)
+    from ullsam_tpu.train.step import (TrainConfig, combine_params,
+                                       make_train_step,
+                                       make_trainable_optimizer)
 
     cfg = make_configs(args)
     tokenizer = load_tokenizer(args.tokenizer_path)
@@ -173,13 +174,12 @@ def main(argv=None):
             ((r"sam\..*", r"mlp1\..*", r"mlp2\..*") if args.mode in seg_modes
              else (r"llm\..*", r"mlp1\..*", r"mlp2\..*"))))
 
-    tx = make_optimizer(params, tcfg)
-
     n_dev = len(jax.devices())
     dp = args.dp or (n_dev // args.tp)
     mesh = create_mesh(dp=dp, tp=args.tp)
     params = shard_params(params, mesh)
-    opt_state = tx.init(params)
+    tx, trainable, frozen = make_trainable_optimizer(params, tcfg)
+    opt_state = tx.init(trainable)
     step_fn = make_train_step(cfg, tcfg, tx)
 
     ckpt = CheckpointManager(os.path.join(args.output_dir, "ckpt"))
@@ -189,7 +189,7 @@ def main(argv=None):
 
     start_step, start_epoch = 0, 0
     if args.resume and ckpt.latest_step() is not None:
-        params, opt_state, extra = ckpt.restore(params, opt_state)
+        trainable, opt_state, extra = ckpt.restore(trainable, opt_state)
         start_step = int(extra.get("step", ckpt.latest_step()))
         start_epoch = int(extra.get("epoch", 0))
         print(f"resumed from step {start_step} (epoch {start_epoch})")
@@ -206,7 +206,8 @@ def main(argv=None):
                     break
                 timer.start()
                 b = shard_batch(batch, mesh)
-                params, opt_state, metrics = step_fn(params, opt_state, b)
+                trainable, opt_state, metrics = step_fn(trainable, frozen,
+                                                        opt_state, b)
                 loss = float(np.asarray(metrics["loss"]))  # sync
                 step += 1
                 if step % args.log_every == 0:
@@ -216,9 +217,9 @@ def main(argv=None):
                     print(f"epoch {epoch} step {step}: " +
                           " ".join(f"{k}={v:.4f}" for k, v in m.items()))
                 if step % args.ckpt_every == 0:
-                    ckpt.save(step, params, opt_state,
+                    ckpt.save(step, trainable, opt_state,
                               extra={"step": step, "epoch": epoch})
-            ckpt.save(step, params, opt_state,
+            ckpt.save(step, trainable, opt_state,
                       extra={"step": step, "epoch": epoch + 1}, wait=True)
     writer.close()
     ckpt.close()

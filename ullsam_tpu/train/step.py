@@ -47,6 +47,7 @@ class TrainConfig:
         r".*rel_pos.*", r".*embed.*")
     use_llm_hidden_states: bool = True  # False = baseline ablation
     freeze_vision: bool = False         # True = train.py semantics
+    remat: bool = True                  # checkpoint LLM/ViT layers
 
 
 def _match_any(path: str, patterns) -> bool:
@@ -60,6 +61,27 @@ def trainable_mask(params, tcfg: TrainConfig):
     return map_with_paths(lambda p, x: _match_any(p, pats), params)
 
 
+def partition_params(params, tcfg: TrainConfig):
+    """Split into (trainable, frozen) trees with None holes.
+
+    Differentiating only the trainable partition keeps the frozen 1.9B-param
+    LLM out of the cotangent/optimizer path entirely (a full-tree grad
+    materializes 7.7 GB of zeros per step).
+    """
+    mask = trainable_mask(params, tcfg)
+    trainable = jax.tree_util.tree_map(
+        lambda p, t: p if t else None, params, mask)
+    frozen = jax.tree_util.tree_map(
+        lambda p, t: None if t else p, params, mask)
+    return trainable, frozen
+
+
+def combine_params(trainable, frozen):
+    return jax.tree_util.tree_map(
+        lambda a, b: a if a is not None else b, trainable, frozen,
+        is_leaf=lambda x: x is None)
+
+
 def make_optimizer(params, tcfg: TrainConfig) -> optax.GradientTransformation:
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=tcfg.learning_rate,
@@ -67,16 +89,18 @@ def make_optimizer(params, tcfg: TrainConfig) -> optax.GradientTransformation:
         decay_steps=tcfg.total_steps, end_value=0.0)
     decay_mask = map_with_paths(
         lambda p, x: not _match_any(p, tcfg.no_decay_patterns), params)
-    adamw = optax.chain(
+    return optax.chain(
         optax.clip_by_global_norm(tcfg.max_grad_norm),
         optax.adamw(schedule, weight_decay=tcfg.weight_decay,
                     mask=decay_mask),
     )
-    mask = trainable_mask(params, tcfg)
-    labels = jax.tree_util.tree_map(
-        lambda t: "train" if t else "freeze", mask)
-    return optax.multi_transform(
-        {"train": adamw, "freeze": optax.set_to_zero()}, labels)
+
+
+def make_trainable_optimizer(params, tcfg: TrainConfig):
+    """(tx, trainable, frozen): optimizer over the trainable partition only."""
+    trainable, frozen = partition_params(params, tcfg)
+    tx = make_optimizer(trainable, tcfg)
+    return tx, trainable, frozen
 
 
 def seg_loss_fn(params, cfg: FusionConfig, tcfg: TrainConfig, batch: dict
@@ -98,7 +122,7 @@ def seg_loss_fn(params, cfg: FusionConfig, tcfg: TrainConfig, batch: dict
         attention_mask=batch.get("attention_mask"),
         labels=batch.get("labels"),
         output_dense_prompt=tcfg.use_llm_hidden_states,
-        stop_vision_gradient=False)
+        stop_vision_gradient=False, remat=tcfg.remat)
 
     dense = out.get("dense_prompt")
 
@@ -132,21 +156,35 @@ def seg_loss_fn(params, cfg: FusionConfig, tcfg: TrainConfig, batch: dict
     return total, metrics
 
 
-def train_step(params, opt_state, batch, cfg: FusionConfig,
+def train_step(trainable, frozen, opt_state, batch, cfg: FusionConfig,
                tcfg: TrainConfig, tx: optax.GradientTransformation):
-    """One optimizer step. jit with static (cfg, tcfg, tx) via closure."""
+    """One optimizer step over the trainable partition only."""
+
+    def loss_fn(t):
+        return seg_loss_fn(combine_params(t, frozen), cfg, tcfg, batch)
+
     (loss, metrics), grads = jax.value_and_grad(
-        seg_loss_fn, has_aux=True)(params, cfg, tcfg, batch)
-    updates, opt_state = tx.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
+        loss_fn, has_aux=True)(trainable)
+    updates, opt_state = tx.update(grads, opt_state, trainable)
+    trainable = optax.apply_updates(trainable, updates)
     metrics["grad_norm"] = optax.global_norm(grads)
-    return params, opt_state, metrics
+    return trainable, opt_state, metrics
 
 
 def make_train_step(cfg: FusionConfig, tcfg: TrainConfig,
-                    tx: optax.GradientTransformation, donate: bool = True):
-    """jit-compiled train step closure (params/opt_state donated)."""
-    def step(params, opt_state, batch):
-        return train_step(params, opt_state, batch, cfg, tcfg, tx)
+                    tx: optax.GradientTransformation, donate: bool = False):
+    """jit-compiled train step closure.
 
-    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+    Signature: step(trainable, frozen, opt_state, batch) ->
+    (trainable, opt_state, metrics).
+
+    donate defaults to False: on the axon TPU relay, buffer donation
+    forces a copy round-trip and inflates a 283 ms step to ~14 s
+    (measured). On directly-attached hosts set donate=True to halve
+    parameter memory traffic.
+    """
+
+    def step(trainable, frozen, opt_state, batch):
+        return train_step(trainable, frozen, opt_state, batch, cfg, tcfg, tx)
+
+    return jax.jit(step, donate_argnums=(0, 2) if donate else ())
