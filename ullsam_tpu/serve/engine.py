@@ -80,6 +80,7 @@ class _Request:
     event: threading.Event = dataclasses.field(default_factory=threading.Event)
     tokens: List[int] = dataclasses.field(default_factory=list)
     error: Optional[Exception] = None
+    stream: Optional["queue.Queue"] = None  # per-token ids for streaming
 
 
 class GenerationEngine:
@@ -134,6 +135,35 @@ class GenerationEngine:
         text = self.tokenizer.decode(req.tokens)
         return text.split(sep)[0].strip()
 
+    def stream_caption(self, pixel_values: Optional[np.ndarray],
+                       question: str, max_new_tokens: int = 256,
+                       timeout: float = 600.0):
+        """Streaming generator of text deltas (the reference's stream_chat,
+        modeling_internlm2.py:1230-1292, rebuilt on the batched engine)."""
+        prompt = build_chat_prompt(self.cfg.template, question,
+                                   num_image_token=self.cfg.num_image_token,
+                                   has_image=pixel_values is not None)
+        ids = self.tokenizer.encode(prompt)
+        if len(ids) + max_new_tokens > self.max_len:
+            raise ValueError(f"prompt too long ({len(ids)} tokens)")
+        req = _Request(np.asarray(ids, np.int32), pixel_values,
+                       max_new_tokens, stream=queue.Queue())
+        self.queue.put(req)
+        sep = get_conv_template(self.cfg.template).sep.strip()
+        emitted = ""
+        toks: List[int] = []
+        while True:
+            tok = req.stream.get(timeout=timeout)
+            if tok is None:
+                break
+            toks.append(tok)
+            text = self.tokenizer.decode(toks).split(sep)[0]
+            if len(text) > len(emitted) and not text.endswith("\ufffd"):
+                delta, emitted = text[len(emitted):], text
+                yield delta
+        if req.error is not None:
+            raise req.error
+
     def shutdown(self):
         self._stop.set()
         self._thread.join(timeout=10)
@@ -165,11 +195,15 @@ class GenerationEngine:
         self.slot_budget[slot] = req.max_new_tokens - 1
         self.cur_tokens[slot] = tok
         req.tokens.append(tok)
+        if req.stream is not None:
+            req.stream.put(tok)
         if tok == self.gen.eos_token_id or req.max_new_tokens <= 1:
             self._finish(slot)
 
     def _finish(self, slot: int):
         req = self.slots[slot]
+        if req is not None and req.stream is not None:
+            req.stream.put(None)  # end-of-stream sentinel
         self.slots[slot] = None
         # free the slot: zero its mask so a new request can overwrite
         self.cache = LLM.KVCache(
@@ -216,6 +250,8 @@ class GenerationEngine:
                 tok = int(nxt[slot])
                 req = self.slots[slot]
                 req.tokens.append(tok)
+                if req.stream is not None:
+                    req.stream.put(tok)
                 self.slot_budget[slot] -= 1
                 if tok == self.gen.eos_token_id or self.slot_budget[slot] <= 0:
                     self._finish(slot)
