@@ -531,7 +531,8 @@ class AutomaticMaskGenerator:
     # -- per-crop sweep ---------------------------------------------------
 
     def _process_crop(self, image: np.ndarray, crop_box: List[int],
-                      layer_idx: int, orig_size: Tuple[int, int]):
+                      layer_idx: int, orig_size: Tuple[int, int],
+                      defer: bool = False):
         """One crop = ONE device dispatch (_amg_device_sweep) + one small
         stats transfer. Returns (MaskData, masks bool [max_out, ch, cw] on
         device, max_out)."""
@@ -565,7 +566,15 @@ class AutomaticMaskGenerator:
             box_nms_thresh=self.box_nms_thresh,
             input_hw=input_hw, out_hw=crop_size, n_real=n,
             compute_dtype=self.compute_dtype)
+        if defer:
+            # async handle: caller collects stats later (pipelining)
+            return (out, crop_box, crop_size, input_hw, max_out,
+                    points_for_image, n)
+        return self._collect_crop(out, crop_box, crop_size, input_hw,
+                                  max_out, points_for_image, n)
 
+    def _collect_crop(self, out, crop_box, crop_size, input_hw, max_out,
+                      points_for_image, n):
         # ONE small transfer for all per-mask stats (~max_out floats)
         stats = jax.device_get({k: out[k] for k in
                                 ("indices", "valid", "iou", "stability",
@@ -652,6 +661,27 @@ class AutomaticMaskGenerator:
         return jnp.asarray(self._masks_to_host(data, device_masks,
                                                orig_size)), data
 
+    def generate_dense_batch(self, images):
+        """Pipelined throughput API: dispatch the device sweep for EVERY
+        image before collecting any stats, overlapping compute with the
+        per-image host sync. Single-crop configs only. Returns a list of
+        (masks_on_device, MaskData)."""
+        assert self.crop_n_layers == 0, "batch path is single-crop"
+        handles = []
+        for image in images:
+            orig_size = image.shape[:2]
+            crop_box = [0, 0, orig_size[1], orig_size[0]]
+            handles.append((self._process_crop(image, crop_box, 0,
+                                               orig_size, defer=True),
+                            orig_size))
+        results = []
+        for handle, orig_size in handles:
+            cd, masks_dev, _ = self._collect_crop(*handle)
+            cd.filter(cd["valid"])
+            masks = jnp.take(masks_dev, jnp.asarray(cd["mask_slot"]), axis=0)
+            results.append((masks, cd))
+        return results
+
     def _masks_to_host(self, data: MaskData, device_masks, orig_size):
         K = len(data["iou_preds"])
         out = np.zeros((K, orig_size[0], orig_size[1]), bool)
@@ -736,15 +766,16 @@ def bench_amg(points_per_side: int = 32, iters: int = 3,
     # device-native path: masks are materialized in HBM; only per-mask
     # pixel counts cross the host link (the axon tunnel makes bulk
     # host transfers dominate otherwise)
+    images = [(rng.rand(1024, 1024, 3) * 255).astype(np.uint8)
+              for _ in range(iters)]
     masks, _ = gen.generate_dense(image)  # warmup + compile
     np.asarray(jnp.sum(masks, axis=(1, 2)))
     t0 = time.perf_counter()
     total = 0
-    for _ in range(iters):
-        masks, data = gen.generate_dense(image)
-        # data["areas"] is computed FROM the final masks and already
-        # crossed the host link in _collect -> masks are materialized;
-        # no second sync needed.
+    # pipelined: all sweeps dispatched before any stats sync; areas are
+    # computed FROM the final masks, so the stats transfer proves the
+    # masks are materialized in HBM
+    for masks, data in gen.generate_dense_batch(images):
         total += int(data["valid"].sum())
     dt = time.perf_counter() - t0
     return total / dt
