@@ -126,3 +126,41 @@ def test_sam_micro_end_to_end(goldens):
     binary = np.asarray(final > cfg.mask_threshold)
     mismatch = (binary != g["masks"].astype(bool)).mean()
     assert mismatch < 0.01, f"binary mask mismatch fraction {mismatch}"
+
+
+def test_persistent_window_partition_equivalence():
+    """The run-persistent window layout must match per-block
+    partition/unpartition exactly, including the pad-masking path
+    (window 3 on a 5x5 grid -> pad to 6)."""
+    import jax
+    from ullsam_tpu.models.sam.image_encoder import (_block_apply,
+                                                     image_encoder_apply,
+                                                     image_encoder_init)
+    from ullsam_tpu.ops import layers as L
+
+    cfg = ViTConfig(img_size=40, patch_size=8, embed_dim=32, depth=4,
+                    num_heads=2, mlp_ratio=2.0, out_chans=16,
+                    window_size=3, global_attn_indexes=(2,))
+    params = image_encoder_init(jax.random.PRNGKey(3), cfg)
+    # randomize zero-init rel pos to exercise the bias
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.02 * np.arange(x.size).reshape(x.shape) % 7
+        if x.size and (x == 0).all() else x, params)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 40, 40, 3), jnp.float32)
+
+    fast = image_encoder_apply(params, x, cfg)
+
+    # reference loop: per-block partition/unpartition
+    y = L.conv2d(params["patch_embed"], x, stride=(8, 8))
+    y = y + params["pos_embed"].astype(y.dtype)
+    for i, blk in enumerate(params["blocks"]):
+        ws = 0 if i in cfg.global_attn_indexes else cfg.window_size
+        y = _block_apply(blk, y, cfg, ws)
+    n = params["neck"]
+    y = L.conv2d(n["conv1"], y)
+    y = L.layer_norm(n["ln1"], y, eps=1e-6)
+    y = L.conv2d(n["conv2"], y, padding="SAME")
+    y = L.layer_norm(n["ln2"], y, eps=1e-6)
+
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(y),
+                               atol=1e-5, rtol=1e-5)

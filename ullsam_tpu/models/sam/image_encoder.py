@@ -165,6 +165,25 @@ def _block_apply(params: dict, x: Array, cfg: ViTConfig, window_size: int) -> Ar
                                                        eps=cfg.ln_eps))
 
 
+def _block_windowed_prepartitioned(params: dict, x: Array, cfg: ViTConfig,
+                                   pad_mask) -> Array:
+    """Window block operating on an ALREADY-partitioned [B*nw, ws, ws, C]
+    grid. Matches the reference exactly: it zero-pads the normed
+    activations before each block's attention (image_encoder.py:166-182),
+    which here is a multiply by the pad mask — all other ops are pointwise,
+    so the partitioned layout persists across consecutive window blocks and
+    the 6-D partition/unpartition transposes (20% of encode time) happen
+    once per RUN instead of once per block."""
+    shortcut = x
+    h = L.layer_norm(params["norm1"], x, eps=cfg.ln_eps)
+    if pad_mask is not None:
+        h = h * pad_mask
+    h = _vit_attention(params["attn"], h, cfg)
+    x = shortcut + h
+    return x + L.mlp_block(params["mlp"], L.layer_norm(params["norm2"], x,
+                                                       eps=cfg.ln_eps))
+
+
 def image_encoder_apply(params: dict, x: Array, cfg: ViTConfig,
                         remat: bool = False) -> Array:
     """x: [B, img, img, 3] NHWC -> [B, grid, grid, out_chans] NHWC."""
@@ -172,13 +191,38 @@ def image_encoder_apply(params: dict, x: Array, cfg: ViTConfig,
                  stride=(cfg.patch_size, cfg.patch_size))  # [B, g, g, C]
     if cfg.use_abs_pos:
         x = x + params["pos_embed"].astype(x.dtype)
-    for i, blk in enumerate(params["blocks"]):
-        ws = 0 if i in cfg.global_attn_indexes else cfg.window_size
-        if remat:
-            x = jax.checkpoint(
-                lambda p, y, w=ws: _block_apply(p, y, cfg, w))(blk, x)
-        else:
-            x = _block_apply(blk, x, cfg, ws)
+
+    depth = cfg.depth
+    ws = cfg.window_size
+    is_global = [i in cfg.global_attn_indexes for i in range(depth)]
+
+    def wrap(fn):
+        return jax.checkpoint(fn) if remat else fn
+
+    i = 0
+    while i < depth:
+        if is_global[i] or ws == 0:
+            blk = params["blocks"][i]
+            x = wrap(lambda p, y: _block_apply(p, y, cfg, 0))(blk, x)
+            i += 1
+            continue
+        # run of consecutive windowed blocks: partition once
+        j = i
+        while j < depth and not is_global[j]:
+            j += 1
+        B, H, W, _ = x.shape
+        xw, pad_hw = window_partition(x, ws)
+        pad_mask = None
+        if pad_hw != (H, W):
+            ones = jnp.ones((1, H, W, 1), x.dtype)
+            pad_mask, _ = window_partition(ones, ws)  # [nw, ws, ws, 1]
+            pad_mask = jnp.tile(pad_mask, (B, 1, 1, 1))
+        for k in range(i, j):
+            blk = params["blocks"][k]
+            xw = wrap(lambda p, y: _block_windowed_prepartitioned(
+                p, y, cfg, pad_mask))(blk, xw)
+        x = window_unpartition(xw, ws, pad_hw, (H, W))
+        i = j
     # neck: 1x1 conv -> LN(channel) -> 3x3 conv(same) -> LN(channel)
     n = params["neck"]
     x = L.conv2d(n["conv1"], x)
