@@ -33,18 +33,26 @@ def _proj_attn_init(key, dim: int, num_heads: int, downsample_rate: int = 1) -> 
 
 
 def _proj_attn(params: dict, q: Array, k: Array, v: Array, num_heads: int) -> Array:
-    """Attention with q/k/v/out projections (transformer.py:220-242)."""
+    """Attention with q/k/v/out projections (transformer.py:220-242).
+
+    Head split via einsum on [B, N, h, d] — no explicit transposes: the
+    materialized [B, h, N, d] copies were ~20% of the 256-prompt decode.
+    """
     q = L.linear(params["q"], q)
     k = L.linear(params["k"], k)
     v = L.linear(params["v"], v)
     B, Nq, C = q.shape
     Nk = k.shape[1]
     hd = C // num_heads
-    q = q.reshape(B, Nq, num_heads, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(B, Nk, num_heads, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(B, Nk, num_heads, hd).transpose(0, 2, 1, 3)
-    out = A.attention(q, k, v, scale=hd ** -0.5)
-    out = out.transpose(0, 2, 1, 3).reshape(B, Nq, C)
+    qh = q.reshape(B, Nq, num_heads, hd)
+    kh = k.reshape(B, Nk, num_heads, hd)
+    vh = v.reshape(B, Nk, num_heads, hd)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * (hd ** -0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh,
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(B, Nq, C).astype(q.dtype)
     return L.linear(params["out"], out)
 
 
