@@ -132,3 +132,24 @@ def test_full_train_step_on_mesh():
     with jax.sharding.set_mesh(mesh):
         t2, opt2, metrics = step(trainable, frozen, opt_state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_grad_accumulation():
+    """MultiSteps: params move only every k-th microbatch."""
+    params = F.fusion_init(jax.random.PRNGKey(0), CFG)
+    tx, trainable, frozen = make_trainable_optimizer(params, TCFG,
+                                                     grad_accum=2)
+    opt_state = tx.init(trainable)
+    step = make_train_step(CFG, TCFG, tx, donate=False)
+    batch = jax.tree_util.tree_map(jnp.asarray, make_batch())
+    t0 = trainable
+    t1, opt_state, _ = step(t0, frozen, opt_state, batch)   # accumulate
+    same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool((np.asarray(a) == np.asarray(b)).all()), t0, t1))
+    assert same, "params must not move on the accumulation microstep"
+    t2, opt_state, _ = step(t1, frozen, opt_state, batch)   # update (lr=0 warmup)
+    t3, opt_state, _ = step(t2, frozen, opt_state, batch)
+    t4, opt_state, _ = step(t3, frozen, opt_state, batch)   # 2nd update
+    moved = not jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool((np.asarray(a) == np.asarray(b)).all()), t0, t4))
+    assert moved, "params should move after enough accumulation steps"

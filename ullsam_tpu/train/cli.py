@@ -178,7 +178,8 @@ def main(argv=None):
     dp = args.dp or (n_dev // args.tp)
     mesh = create_mesh(dp=dp, tp=args.tp)
     params = shard_params(params, mesh)
-    tx, trainable, frozen = make_trainable_optimizer(params, tcfg)
+    tx, trainable, frozen = make_trainable_optimizer(
+        params, tcfg, grad_accum=max(1, args.grad_accum))
     opt_state = tx.init(trainable)
     step_fn = make_train_step(cfg, tcfg, tx)
 

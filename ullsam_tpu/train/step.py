@@ -96,10 +96,16 @@ def make_optimizer(params, tcfg: TrainConfig) -> optax.GradientTransformation:
     )
 
 
-def make_trainable_optimizer(params, tcfg: TrainConfig):
-    """(tx, trainable, frozen): optimizer over the trainable partition only."""
+def make_trainable_optimizer(params, tcfg: TrainConfig,
+                             grad_accum: int = 1):
+    """(tx, trainable, frozen): optimizer over the trainable partition only.
+
+    grad_accum > 1 wraps the transform in optax.MultiSteps (the reference
+    trains with accumulation 8, train_joint_v2.py:1584,1169-1188)."""
     trainable, frozen = partition_params(params, tcfg)
     tx = make_optimizer(trainable, tcfg)
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx, trainable, frozen
 
 
