@@ -160,6 +160,28 @@ def internlm2_tiny(vocab_size: int = 256) -> InternLM2Config:
 
 
 @dataclasses.dataclass(frozen=True)
+class InternViTConfig:
+    """InternViT vision config — CARRIED BUT UNUSED, matching the reference
+    (configuration_intern_vit.py): the deployed uLLSAM vision tower is the
+    SAM ViT; train_joint_v2.py:1372-1378 fabricates a stub vision config.
+    Kept so converted InternVL checkpoints round-trip their config."""
+
+    num_channels: int = 3
+    patch_size: int = 14
+    image_size: int = 448
+    hidden_size: int = 1024
+    num_attention_heads: int = 16
+    num_hidden_layers: int = 24
+    intermediate_size: int = 4096
+    qk_normalization: bool = True
+    qkv_bias: bool = False
+    use_flash_attn: bool = True
+    layer_norm_eps: float = 1e-6
+    initializer_factor: float = 0.1
+    drop_path_rate: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
 class FusionConfig:
     """uLLSAM fusion model config (reference: modeling_internvl_sam.py:43-104).
 

@@ -126,3 +126,110 @@ def generate(params: dict, cfg: InternLM2Config, gen: GenerationConfig,
                         jnp.argmax(is_eos, axis=-1) + 1,
                         gen.max_new_tokens).astype(jnp.int32)
     return buf, lengths
+
+
+# ---------------------------------------------------------------------------
+# beam search (fixed-shape; the reference gets this via HF generate +
+# _reorder_cache, modeling_internlm2.py:1151-1158)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "num_beams", "max_new_tokens",
+                                    "eos_token_id", "pad_token_id",
+                                    "length_penalty", "max_len"))
+def beam_search(params: dict, cfg: InternLM2Config, inputs_embeds: Array,
+                attention_mask: Array, num_beams: int = 4,
+                max_new_tokens: int = 64, eos_token_id: int = 2,
+                pad_token_id: int = 2, length_penalty: float = 1.0,
+                max_len: Optional[int] = None) -> Tuple[Array, Array]:
+    """Beam search for a SINGLE prompt (B=1 in, num_beams explored).
+
+    Fixed shapes throughout: the prompt prefills once, the cache is
+    replicated across beams, and each step reorders cache rows by parent
+    (the _reorder_cache analog as a batched gather). Returns
+    (tokens [max_new_tokens], score scalar) for the best finished (or
+    best alive) hypothesis, eos included and pad after.
+    """
+    B, S, H = inputs_embeds.shape
+    assert B == 1, "beam_search explores beams of one prompt"
+    K = num_beams
+    if max_len is None:
+        max_len = S + max_new_tokens
+
+    cache = init_cache(cfg, 1, max_len, dtype=inputs_embeds.dtype)
+    out, cache = internlm2_prefill(params, cfg, inputs_embeds,
+                                   attention_mask, cache)
+    idx = last_valid_index(attention_mask)
+    logp0 = jax.nn.log_softmax(
+        out["logits"][jnp.arange(1), idx].astype(jnp.float32), axis=-1)[0]
+
+    # replicate cache across beams
+    cache = KVCache(k=jnp.repeat(cache.k, K, axis=1),
+                    v=jnp.repeat(cache.v, K, axis=1),
+                    mask=jnp.repeat(cache.mask, K, axis=0),
+                    index=cache.index)
+
+    top0 = jax.lax.top_k(logp0, K)
+    tok0 = top0[1].astype(jnp.int32)              # [K]
+    scores0 = top0[0]                             # [K]
+    buf0 = jnp.full((K, max_new_tokens), pad_token_id, jnp.int32)
+    buf0 = buf0.at[:, 0].set(tok0)
+    fin_scores0 = jnp.full((K,), -jnp.inf)
+    fin_buf0 = jnp.full((K, max_new_tokens), pad_token_id, jnp.int32)
+    # beams that started with eos finish immediately
+    is_eos0 = tok0 == eos_token_id
+    fin_scores0 = jnp.where(is_eos0, scores0 / (1.0 ** length_penalty),
+                            fin_scores0)
+    fin_buf0 = jnp.where(is_eos0[:, None], buf0, fin_buf0)
+    scores0 = jnp.where(is_eos0, -jnp.inf, scores0)
+
+    def step(state, t):
+        cache, tok, scores, buf, fin_scores, fin_buf = state
+        emb = embed_tokens(params, tok)[:, None, :].astype(inputs_embeds.dtype)
+        logits, cache = internlm2_decode_step(params, cfg, emb, cache)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        total = scores[:, None] + logp                     # [K, V]
+        V = total.shape[-1]
+        flat = total.reshape(-1)
+        cand_scores, cand_idx = jax.lax.top_k(flat, 2 * K)
+        cand_beam = cand_idx // V
+        cand_tok = (cand_idx % V).astype(jnp.int32)
+        cand_eos = cand_tok == eos_token_id
+
+        # finished pool: best eos candidate replaces the worst finished
+        lp_den = ((t + 2).astype(jnp.float32)) ** length_penalty
+        eos_scores = jnp.where(cand_eos, cand_scores, -jnp.inf) / lp_den
+        best_eos = jnp.argmax(eos_scores)
+        worst_fin = jnp.argmin(fin_scores)
+        take = eos_scores[best_eos] > fin_scores[worst_fin]
+        new_fin_row = buf[cand_beam[best_eos]].at[t + 1].set(eos_token_id)
+        fin_scores = jnp.where(take,
+                               fin_scores.at[worst_fin].set(
+                                   eos_scores[best_eos]), fin_scores)
+        fin_buf = jnp.where(take,
+                            fin_buf.at[worst_fin].set(new_fin_row), fin_buf)
+
+        # alive beams: best K non-eos candidates
+        alive_scores = jnp.where(cand_eos, -jnp.inf, cand_scores)
+        keep_scores, keep = jax.lax.top_k(alive_scores, K)
+        parent = cand_beam[keep]
+        new_tok = cand_tok[keep]
+        # _reorder_cache analog: gather cache rows by parent beam
+        cache = KVCache(k=jnp.take(cache.k, parent, axis=1),
+                        v=jnp.take(cache.v, parent, axis=1),
+                        mask=jnp.take(cache.mask, parent, axis=0),
+                        index=cache.index)
+        buf = jnp.take(buf, parent, axis=0).at[:, t + 1].set(new_tok)
+        return (cache, new_tok, keep_scores, buf, fin_scores, fin_buf), None
+
+    state = (cache, tok0, scores0, buf0, fin_scores0, fin_buf0)
+    (cache, tok, scores, buf, fin_scores, fin_buf), _ = jax.lax.scan(
+        step, state, jnp.arange(max_new_tokens - 1))
+
+    # alive hypotheses compete with finished (length-penalized)
+    alive_norm = scores / (float(max_new_tokens) ** length_penalty)
+    all_scores = jnp.concatenate([fin_scores, alive_norm])
+    all_bufs = jnp.concatenate([fin_buf, buf], axis=0)
+    best = jnp.argmax(all_scores)
+    return all_bufs[best], all_scores[best]

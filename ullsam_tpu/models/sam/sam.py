@@ -107,3 +107,48 @@ def sam_point_predict(params: dict, cfg: SamConfig, image: Array,
     size = cfg.vit.img_size
     masks = bilinear_resize(low_res.astype(jnp.float32), size, size)
     return masks, iou
+
+
+def sam_batched_forward(params: dict, cfg: SamConfig, batched_input,
+                        multimask_output: bool):
+    """Dict-in/dict-out batched inference matching Sam.forward
+    (sam.py:53-131): a list of per-image records with 'image' ([H, W, 3]
+    NHWC, 0-255), 'original_size', and optional 'point_coords'/
+    'point_labels'/'boxes'/'mask_inputs'. Returns a list of dicts with
+    'masks' (bool, original size), 'iou_predictions', 'low_res_logits'.
+
+    The reference loops images in Python; images here are encoded as ONE
+    batch, then each image's prompts decode against its embedding.
+    """
+    import numpy as np
+
+    images = jnp.stack([preprocess(jnp.asarray(r["image"],
+                                               jnp.float32)[None], cfg)[0]
+                        for r in batched_input])
+    embeddings = encode_image(params, cfg, images)
+
+    outputs = []
+    for i, record in enumerate(batched_input):
+        points = None
+        if "point_coords" in record:
+            points = (jnp.asarray(record["point_coords"], jnp.float32),
+                      jnp.asarray(record["point_labels"], jnp.int32))
+        boxes = (jnp.asarray(record["boxes"], jnp.float32)
+                 if "boxes" in record else None)
+        mask_inputs = None
+        if "mask_inputs" in record:
+            mi = jnp.asarray(record["mask_inputs"], jnp.float32)
+            mask_inputs = jnp.transpose(mi, (0, 2, 3, 1))  # NCHW -> NHWC
+        low_res, iou = decode_masks(params, cfg, embeddings[i:i + 1],
+                                    points=points, boxes=boxes,
+                                    mask_inputs=mask_inputs,
+                                    multimask_output=multimask_output)
+        input_size = record["image"].shape[:2]
+        masks = postprocess_masks(low_res, tuple(input_size),
+                                  tuple(record["original_size"]), cfg)
+        outputs.append({
+            "masks": np.asarray(masks) > cfg.mask_threshold,
+            "iou_predictions": np.asarray(iou),
+            "low_res_logits": np.asarray(low_res),
+        })
+    return outputs

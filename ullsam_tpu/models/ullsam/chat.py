@@ -98,6 +98,65 @@ def batch_chat(params: dict, cfg: FusionConfig, tokenizer,
     return responses, histories
 
 
+def stream_chat(params: dict, cfg: FusionConfig, tokenizer,
+                pixel_values: Optional[Array], question: str,
+                gen: Optional[GenerationConfig] = None,
+                history: Optional[List[Tuple[str, str]]] = None,
+                rng: Optional[Array] = None):
+    """Token-streaming chat generator (reference stream_chat,
+    modeling_internlm2.py:1230-1292): yields text deltas.
+
+    Host-stepped decode (one dispatch per token); for throughput serving
+    use serve.engine.GenerationEngine.stream_caption instead.
+    """
+    import dataclasses
+
+    from ullsam_tpu.models.internlm2.generate import sample_token
+
+    template = get_conv_template(cfg.template)
+    eos_id = tokenizer.convert_tokens_to_ids(template.sep.strip())
+    gen = dataclasses.replace(gen or GenerationConfig(),
+                              eos_token_id=eos_id,
+                              pad_token_id=tokenizer.pad_token_id)
+    prompt = build_chat_prompt(cfg.template, question, history=history,
+                               num_image_token=cfg.num_image_token,
+                               has_image=pixel_values is not None)
+    ids = tokenizer.encode(prompt)
+    input_ids = jnp.asarray([ids], jnp.int32)
+    mask = jnp.ones_like(input_ids)
+    embeds = LLM.embed_tokens(params["llm"], input_ids)
+    if pixel_values is not None:
+        vit_tokens, _ = F.extract_feature(params, cfg, pixel_values)
+        embeds = F.scatter_image_embeds(input_ids, embeds, vit_tokens,
+                                        cfg.img_context_token_id)
+    max_len = len(ids) + gen.max_new_tokens
+    cache = LLM.init_cache(cfg.llm, 1, max_len, dtype=embeds.dtype)
+    out, cache = LLM.internlm2_prefill(params["llm"], cfg.llm, embeds, mask,
+                                       cache)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    rng, srng = jax.random.split(rng)
+    tok = int(np.asarray(sample_token(out["logits"][:, -1], gen, srng))[0])
+    sep = template.sep.strip()
+    toks, emitted = [tok], ""
+    for _ in range(gen.max_new_tokens - 1):
+        if tok == gen.eos_token_id:
+            break
+        text = tokenizer.decode(toks).split(sep)[0]
+        if len(text) > len(emitted) and not text.endswith("\ufffd"):
+            yield text[len(emitted):]
+            emitted = text
+        emb = LLM.embed_tokens(params["llm"],
+                               jnp.asarray([tok]))[:, None, :].astype(embeds.dtype)
+        logits, cache = LLM.internlm2_decode_step(params["llm"], cfg.llm,
+                                                  emb, cache)
+        rng, srng = jax.random.split(rng)
+        tok = int(np.asarray(sample_token(logits, gen, srng))[0])
+        toks.append(tok)
+    text = tokenizer.decode(toks).split(sep)[0]
+    if len(text) > len(emitted):
+        yield text[len(emitted):]
+
+
 def segment_forward(params: dict, cfg: FusionConfig, tokenizer,
                     pixel_values: Array,
                     question: str = "Describe the image in detail."):
