@@ -152,3 +152,20 @@ def test_train_cli_smoke(tmp_path):
     rec = json.loads(lines.splitlines()[-1])
     assert np.isfinite(rec["loss"])
     assert os.path.isdir(os.path.join(out, "ckpt"))
+
+
+def test_prefetch_iterator():
+    from ullsam_tpu.data.datasets import PrefetchIterator
+
+    items = list(PrefetchIterator(iter(range(7)), prefetch=3))
+    assert items == list(range(7))
+
+    def boom():
+        yield 1
+        raise ValueError("boom")
+
+    it = PrefetchIterator(boom())
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        for _ in it:
+            pass

@@ -206,3 +206,40 @@ def batch_iterator_sharded(dataset, batch_size: int, *, shuffle: bool = True,
         idxs = order[start:start + batch_size]
         examples = [dataset.example(int(i)) for i in idxs]
         yield {k: np.stack([e[k] for e in examples]) for k in examples[0]}
+
+
+class PrefetchIterator:
+    """Background-thread prefetch over a batch iterator (the reference's
+    DataLoader(num_workers=4) analog: host point-sampling/image IO overlaps
+    with device steps)."""
+
+    def __init__(self, iterable, prefetch: int = 2, num_threads: int = 2):
+        import queue as _q
+        import threading
+
+        self._queue: "_q.Queue" = _q.Queue(maxsize=prefetch)
+        self._sentinel = object()
+        self._err = None
+
+        def worker():
+            try:
+                for item in iterable:
+                    self._queue.put(item)
+            except Exception as e:  # surfaced on next()
+                self._err = e
+            finally:
+                self._queue.put(self._sentinel)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._sentinel:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

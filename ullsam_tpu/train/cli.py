@@ -107,9 +107,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from ullsam_tpu.data.datasets import (DatasetConfig, PretrainDataset,
-                                          SegDataset, SFTDataset,
-                                          batch_iterator_sharded)
+    from ullsam_tpu.data.datasets import (DatasetConfig, PrefetchIterator,
+                                          PretrainDataset, SegDataset,
+                                          SFTDataset, batch_iterator_sharded)
     from ullsam_tpu.data.tokenizer import load_tokenizer
     from ullsam_tpu.models.ullsam import fusion as F
     from ullsam_tpu.parallel.partitioning import (create_mesh, shard_batch,
@@ -199,10 +199,10 @@ def main(argv=None):
     step = start_step
     with jax.sharding.set_mesh(mesh):
         for epoch in range(start_epoch, args.epochs):
-            for batch in batch_iterator_sharded(
+            for batch in PrefetchIterator(batch_iterator_sharded(
                     dataset, args.batch_size, seed=args.seed,
                     process_index=jax.process_index(),
-                    process_count=jax.process_count(), epoch=epoch):
+                    process_count=jax.process_count(), epoch=epoch)):
                 if args.max_steps and step >= args.max_steps:
                     break
                 timer.start()
