@@ -70,9 +70,11 @@ def predict_masks(params: dict, cfg: MaskDecoderConfig,
     tokens = jnp.concatenate(
         [output_tokens.astype(sparse_prompt.dtype), sparse_prompt], axis=1)
 
-    src = jnp.broadcast_to(image_embeddings,
-                           (B,) + image_embeddings.shape[1:])
-    src = src + dense_prompt.astype(src.dtype)
+    # keep src at the NATURAL broadcast batch: when both the embedding and
+    # the dense prompt are shared (batch 1, e.g. the AMG no-mask sweep),
+    # the transformer's key-side projections run once and per-prompt keys
+    # only materialize at the first image->token update
+    src = image_embeddings + dense_prompt.astype(image_embeddings.dtype)
     _, H, W, C = src.shape
 
     hs, keys = two_way_transformer_apply(params["transformer"], cfg, src,
@@ -82,7 +84,7 @@ def predict_masks(params: dict, cfg: MaskDecoderConfig,
 
     # upscale image features 4x: convT(s2) -> LN -> GELU -> convT(s2) -> GELU
     up = params["upscale"]
-    src = keys.reshape(B, H, W, C)
+    src = keys.reshape(keys.shape[0], H, W, C)
     x = L.conv_transpose2d(up["convt1"], src, stride=(2, 2))
     x = L.gelu(L.layer_norm(up["ln"], x, eps=1e-6))
     x = L.gelu(L.conv_transpose2d(up["convt2"], x, stride=(2, 2)))  # [B,4H,4W,d/8]
@@ -91,7 +93,7 @@ def predict_masks(params: dict, cfg: MaskDecoderConfig,
     hyper_in = jnp.stack(
         [L.mlp_stack(params["hyper_mlps"][i], mask_tokens_out[:, i, :])
          for i in range(nm)], axis=1)  # [B, nm, d/8]
-    up_flat = x.reshape(B, 4 * H * 4 * W, x.shape[-1])
+    up_flat = x.reshape(x.shape[0], 4 * H * 4 * W, x.shape[-1])
     masks = jnp.einsum("bmc,bnc->bmn", hyper_in, up_flat,
                        preferred_element_type=jnp.float32)
     masks = masks.reshape(B, nm, 4 * H, 4 * W).astype(x.dtype)

@@ -70,6 +70,10 @@ def decode_masks(
     sparse, dense = PE.prompt_encoder_apply(
         params["prompt_encoder"], cfg.prompt_encoder,
         points=points, boxes=boxes, masks=mask_inputs, llm_hidden=llm_hidden)
+    if mask_inputs is None and llm_hidden is None:
+        # no-mask dense prompt is a broadcast of one vector: keep batch 1
+        # so the decoder's shared-keys fast path engages (AMG sweep)
+        dense = dense[:1]
     image_pe = PE.get_dense_pe(params["prompt_encoder"], cfg.prompt_encoder)
     return MD.mask_decoder_apply(
         params["mask_decoder"], cfg.mask_decoder,

@@ -42,17 +42,36 @@ def _proj_attn(params: dict, q: Array, k: Array, v: Array, num_heads: int) -> Ar
     k = L.linear(params["k"], k)
     v = L.linear(params["v"], v)
     B, Nq, C = q.shape
-    Nk = k.shape[1]
+    Bk, Nk = k.shape[0], k.shape[1]
     hd = C // num_heads
     qh = q.reshape(B, Nq, num_heads, hd)
-    kh = k.reshape(B, Nk, num_heads, hd)
-    vh = v.reshape(B, Nk, num_heads, hd)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
-                        preferred_element_type=jnp.float32) * (hd ** -0.5)
-    probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh,
-                     preferred_element_type=jnp.float32)
-    out = out.reshape(B, Nq, C).astype(q.dtype)
+    kh = k.reshape(Bk, Nk, num_heads, hd)
+    vh = v.reshape(Bk, Nk, num_heads, hd)
+    if Bk == 1 and B > 1:
+        # shared keys/values across the prompt batch (AMG fast path): the
+        # k/v projections above ran ONCE on [1, Nk, C]
+        logits = jnp.einsum("bqhd,khd->bhqk", qh, kh[0],
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits * (hd ** -0.5), axis=-1).astype(vh.dtype)
+        out = jnp.einsum("bhqk,khd->bqhd", probs, vh[0],
+                         preferred_element_type=jnp.float32)
+        B_out = B
+    elif B == 1 and Bk > 1:
+        # shared queries, per-prompt keys (block-1 image->token update)
+        logits = jnp.einsum("qhd,bkhd->bhqk", qh[0], kh,
+                            preferred_element_type=jnp.float32) * (hd ** -0.5)
+        probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh,
+                         preferred_element_type=jnp.float32)
+        B_out = Bk
+    else:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32) * (hd ** -0.5)
+        probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh,
+                         preferred_element_type=jnp.float32)
+        B_out = B
+    out = out.reshape(B_out, Nq, C).astype(q.dtype)
     return L.linear(params["out"], out)
 
 
@@ -87,8 +106,12 @@ def two_way_transformer_init(key, cfg: MaskDecoderConfig) -> dict:
 def _block_apply(params: dict, cfg: MaskDecoderConfig, queries: Array,
                  keys: Array, query_pe: Array, key_pe: Array,
                  skip_first_layer_pe: bool) -> Tuple[Array, Array]:
+    """keys may carry batch 1 while queries carry the prompt batch (shared
+    image embedding): key-side projections then run once, and keys
+    materialize per prompt only at this block's image->token update."""
     nh = cfg.transformer_num_heads
     eps = cfg.ln_eps
+    B = queries.shape[0]
     # token self-attention (transformer.py:156-163)
     if skip_first_layer_pe:
         queries = _proj_attn(params["self_attn"], queries, queries, queries, nh)
@@ -120,9 +143,8 @@ def two_way_transformer_apply(params: dict, cfg: MaskDecoderConfig,
     Returns (queries [B, N, C], keys [B, H*W, C]).
     """
     B, H, W, C = image_embedding.shape
-    keys = image_embedding.reshape(B, H * W, C)
-    key_pe = image_pe.reshape(-1, H * W, C)
-    key_pe = jnp.broadcast_to(key_pe, keys.shape).astype(keys.dtype)
+    keys = image_embedding.reshape(B, H * W, C)  # batch may be 1 (shared)
+    key_pe = image_pe.reshape(-1, H * W, C).astype(keys.dtype)
     queries = point_embedding
     query_pe = point_embedding
 
