@@ -8,6 +8,7 @@ compilations stay bounded.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -36,6 +37,39 @@ def _tokenize_left_padded(tokenizer, prompts: List[str],
     ids = [[tokenizer.pad_token_id] * pad + row for row in ids]
     mask = [[0] * pad + row for row in mask]
     return jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _embeds_with_image(params, cfg: FusionConfig, input_ids, pixel_values):
+    """Jitted: token embeds + visual-token scatter (one dispatch)."""
+    embeds = LLM.embed_tokens(params["llm"], input_ids)
+    if pixel_values is not None:
+        vit_tokens, _ = F.extract_feature(params, cfg, pixel_values)
+        embeds = F.scatter_image_embeds(input_ids, embeds, vit_tokens,
+                                        cfg.img_context_token_id)
+    return embeds
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _segment_prefill(params, cfg: FusionConfig, pixel_values, input_ids):
+    """Jitted fused forward returning (dense_prompt, sam_features)."""
+    out = F.fusion_forward(params, cfg, pixel_values, input_ids,
+                           output_dense_prompt=True)
+    return out["dense_prompt"], out["image_embeddings"]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "threshold"))
+def _point_segment_jit(params, cfg: FusionConfig, sam_features,
+                       dense_prompt, point_coords, point_labels,
+                       threshold: float):
+    low_res, iou = F.segment_with_prompts(
+        params, cfg, sam_features, dense_prompt, point_coords, point_labels,
+        multimask_output=False)
+    from ullsam_tpu.ops.resize import bilinear_resize
+    size = cfg.sam.vit.img_size
+    up = bilinear_resize(low_res.astype(jnp.float32), size, size)
+    probs = jax.nn.sigmoid(up)
+    return probs > threshold, probs, iou
 
 
 def chat(params: dict, cfg: FusionConfig, tokenizer, pixel_values: Array,
@@ -79,11 +113,7 @@ def batch_chat(params: dict, cfg: FusionConfig, tokenizer,
     ]
     input_ids, attention_mask = _tokenize_left_padded(tokenizer, prompts)
 
-    embeds = LLM.embed_tokens(params["llm"], input_ids)
-    if pixel_values is not None:
-        vit_tokens, _ = F.extract_feature(params, cfg, pixel_values)
-        embeds = F.scatter_image_embeds(input_ids, embeds, vit_tokens,
-                                        cfg.img_context_token_id)
+    embeds = _embeds_with_image(params, cfg, input_ids, pixel_values)
 
     tokens, lengths = generate(params["llm"], cfg.llm, gen, embeds,
                                attention_mask, rng=rng)
@@ -167,9 +197,7 @@ def segment_forward(params: dict, cfg: FusionConfig, tokenizer,
                                num_image_token=cfg.num_image_token)
     ids = tokenizer.encode(prompt)
     input_ids = jnp.asarray([ids], jnp.int32)
-    out = F.fusion_forward(params, cfg, pixel_values, input_ids,
-                           output_dense_prompt=True)
-    return out["dense_prompt"], out["image_embeddings"]
+    return _segment_prefill(params, cfg, pixel_values, input_ids)
 
 
 def point_segment(params: dict, cfg: FusionConfig, sam_features: Array,
@@ -177,13 +205,7 @@ def point_segment(params: dict, cfg: FusionConfig, sam_features: Array,
                   point_labels: Array, threshold: float = 0.5):
     """Interactive mask from clicks (app.py:617-644): decode + upsample +
     sigmoid threshold. Returns (binary mask [B,1,S,S], probs, iou)."""
-    low_res, iou = F.segment_with_prompts(
-        params, cfg, sam_features, dense_prompt, point_coords, point_labels,
-        multimask_output=False)
-    from ullsam_tpu.ops.resize import bilinear_resize
-    size = cfg.sam.vit.img_size
-    up = bilinear_resize(low_res.astype(jnp.float32), size, size)
-    probs = jax.nn.sigmoid(up)
     # NB: the app thresholds sigmoid>0.5 (app.py:644) while Sam.forward uses
     # logits>0.0 (sam.py:19,123) — numerically identical at 0.5/0.0.
-    return probs > threshold, probs, iou
+    return _point_segment_jit(params, cfg, sam_features, dense_prompt,
+                              point_coords, point_labels, threshold)
