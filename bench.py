@@ -67,6 +67,8 @@ def bench_point_masks(n_prompts: int = 64, iters: int = 5):
 
 
 def main():
+    from ullsam_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     try:
         from ullsam_tpu.inference.amg import bench_amg  # noqa: F401
         value = bench_amg(variant="vit_h")

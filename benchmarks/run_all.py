@@ -126,6 +126,8 @@ def bench_fused_forward(results):
 
 
 def main():
+    from ullsam_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip", default="", help="comma list of sections")
