@@ -331,31 +331,6 @@ def remove_small_regions(mask: np.ndarray, area_thresh: float, mode: str
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "stability_offset"))
-def _sweep_chunk(params, cfg: SamConfig, emb, coords,
-                 stability_offset: float = 1.0):
-    """Decode one chunk of single-point prompts and compute all per-mask
-    statistics on device at low res.
-
-    coords: [P, 2] in input-frame pixels. Returns dict of [P*3, ...] arrays:
-    low-res logits, iou predictions, stability scores, low-res boxes.
-    """
-    P = coords.shape[0]
-    pts = coords[:, None, :]
-    labels = jnp.ones((P, 1), jnp.int32)
-    low_res, iou = S.decode_masks(params, cfg, emb, points=(pts, labels),
-                                  multimask_output=True)  # [P,3,256,256]
-    M = low_res.shape[1]
-    flat = low_res.reshape(P * M, *low_res.shape[2:])
-    iou = iou.reshape(P * M)
-    stability = calculate_stability_score(flat, cfg.mask_threshold,
-                                          stability_offset)
-    boxes = batched_mask_to_box(flat > cfg.mask_threshold)
-    return {"low_res": flat, "iou": iou, "stability": stability,
-            "boxes_low": boxes}
-
-
-@functools.partial(jax.jit,
                    static_argnames=("cfg", "out_h", "out_w", "input_hw"))
 def _upscale_threshold(cfg: SamConfig, low_res, out_h: int, out_w: int,
                        input_hw: Tuple[int, int]):

@@ -39,22 +39,6 @@ def _bilinear_matrix(out_size: int, in_size: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=256)
-def resize_chain_matrix(sizes: Tuple[int, ...]) -> np.ndarray:
-    """Compose a chain of 1-D bilinear resizes: sizes = (in, a, b, ..., out).
-
-    A crop step is expressed by passing the cropped size as an intermediate
-    (cropping the top-left region == truncating rows of the next matrix's
-    input, which we realize by slicing the composed matrix columns).
-    """
-    m = np.eye(sizes[0], dtype=np.float32)
-    cur = sizes[0]
-    for nxt in sizes[1:]:
-        m = _bilinear_matrix(nxt, cur) @ m
-        cur = nxt
-    return m
-
-
-@functools.lru_cache(maxsize=256)
 def sam_postprocess_matrix(low: int, model_size: int, input_size: int,
                            out: int) -> np.ndarray:
     """[out, low] matrix for: resize low->model_size, crop :input_size,
