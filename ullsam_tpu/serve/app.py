@@ -267,7 +267,26 @@ def build_app(args) -> AppServer:
                                   max_len=args.max_len)
     app = AppServer(params, cfg, tokenizer, engine=engine)
     app.mode = args.mode
+    if getattr(args, "warmup", False):
+        _warmup(app)
     return app
+
+
+def _warmup(app: AppServer) -> None:
+    """Compile the interactive + caption paths at boot so the first user
+    request is served at steady-state latency."""
+    import time
+
+    t0 = time.time()
+    size = app.cfg.sam.vit.img_size
+    sess = app.session("__warmup__")
+    app.set_image(sess, np.zeros((size, size, 3), np.uint8))
+    sess.add_point(size / 2, size / 2, 1)
+    app.generate_mask(sess)
+    app.caption(sess, "Describe the image in detail.", max_new_tokens=2)
+    with app.lock:
+        app.sessions.pop("__warmup__", None)
+    print(f"warmup done in {time.time() - t0:.0f}s")
 
 
 def main(argv=None):
@@ -285,6 +304,8 @@ def main(argv=None):
                    help="continuous-batching caption engine")
     p.add_argument("--engine_batch", type=int, default=4)
     p.add_argument("--max_len", type=int, default=2560)
+    p.add_argument("--warmup", action="store_true",
+                   help="compile the serving paths at boot")
     p.add_argument("--smoke", action="store_true",
                    help="start, self-test the API, exit")
     args = p.parse_args(argv)
