@@ -59,17 +59,32 @@ def _splice_slot(cache: LLM.KVCache, row: LLM.KVCache, slot) -> LLM.KVCache:
         index=cache.index)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "gen"))
+@functools.partial(jax.jit, static_argnames=("cfg", "gen", "n_steps"))
 def _engine_step(params, cfg: FusionConfig, gen: GenerationConfig,
-                 tokens, cache: LLM.KVCache, active, rng):
-    """One continuous-batching decode step for all slots."""
-    embeds = LLM.embed_tokens(params["llm"], tokens)[:, None, :]
-    logits, cache = LLM.internlm2_decode_step_multi(
-        params["llm"], cfg.llm, embeds, cache, active)
-    rng, step_rng = jax.random.split(rng)
-    nxt = sample_token(logits, gen, step_rng).astype(jnp.int32)
-    nxt = jnp.where(active, nxt, gen.pad_token_id)
-    return nxt, cache, rng
+                 tokens, cache: LLM.KVCache, active, rng,
+                 n_steps: int = 1):
+    """n_steps continuous-batching decode steps in ONE dispatch.
+
+    On the axon relay each host sync costs tens of ms, so single-token
+    stepping caps aggregate decode throughput; multi-step chunks trade a
+    little admission latency for n_steps-fold fewer round trips. Rows that
+    hit EOS mid-chunk keep decoding harmlessly (their overrun cache
+    entries are overwritten when the slot is re-admitted) and the host
+    trims at the first EOS. Returns tokens [B, n_steps].
+    """
+    def body(carry, _):
+        tokens, cache, rng = carry
+        embeds = LLM.embed_tokens(params["llm"], tokens)[:, None, :]
+        logits, cache = LLM.internlm2_decode_step_multi(
+            params["llm"], cfg.llm, embeds, cache, active)
+        rng, step_rng = jax.random.split(rng)
+        nxt = sample_token(logits, gen, step_rng).astype(jnp.int32)
+        nxt = jnp.where(active, nxt, gen.pad_token_id)
+        return (nxt, cache, rng), nxt
+
+    (tokens, cache, rng), emitted = jax.lax.scan(
+        body, (tokens, cache, rng), None, length=n_steps)
+    return emitted.T, cache, rng  # [B, n_steps]
 
 
 @dataclasses.dataclass
@@ -89,7 +104,8 @@ class GenerationEngine:
     def __init__(self, params, cfg: FusionConfig, tokenizer,
                  max_batch: int = 4, max_len: int = 2560,
                  gen: Optional[GenerationConfig] = None,
-                 cache_dtype=jnp.bfloat16, seed: int = 0):
+                 cache_dtype=jnp.bfloat16, seed: int = 0,
+                 steps_per_dispatch: int = 8):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -107,6 +123,7 @@ class GenerationEngine:
         self.slot_budget = [0] * max_batch
         self.cur_tokens = np.full((max_batch,), self.gen.pad_token_id,
                                   np.int32)
+        self.steps_per_dispatch = max(1, steps_per_dispatch)
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -241,18 +258,31 @@ class GenerationEngine:
 
             active = np.zeros((self.max_batch,), bool)
             active[active_slots] = True
-            nxt, self.cache, self.rng = _engine_step(
+            # chunk size: single-step only when a pending request could
+            # actually be admitted (free slot + backlog); otherwise run
+            # multi-step chunks for throughput. Never overrun a budget.
+            free_slot = len(active_slots) < self.max_batch
+            n_steps = 1 if (free_slot and not self.queue.empty()) else min(
+                self.steps_per_dispatch,
+                min(self.slot_budget[s] for s in active_slots))
+            n_steps = max(1, n_steps)
+            emitted, self.cache, self.rng = _engine_step(
                 self.params, self.cfg, self.gen,
                 jnp.asarray(self.cur_tokens), self.cache,
-                jnp.asarray(active), self.rng)
-            nxt = np.array(nxt)  # copy: np.asarray(jax) is read-only
+                jnp.asarray(active), self.rng, n_steps=n_steps)
+            emitted = np.array(emitted)  # [B, n_steps]
             for slot in active_slots:
-                tok = int(nxt[slot])
                 req = self.slots[slot]
-                req.tokens.append(tok)
-                if req.stream is not None:
-                    req.stream.put(tok)
-                self.slot_budget[slot] -= 1
-                if tok == self.gen.eos_token_id or self.slot_budget[slot] <= 0:
+                done = False
+                for j in range(n_steps):
+                    tok = int(emitted[slot, j])
+                    req.tokens.append(tok)
+                    if req.stream is not None:
+                        req.stream.put(tok)
+                    self.slot_budget[slot] -= 1
+                    if tok == self.gen.eos_token_id or                             self.slot_budget[slot] <= 0:
+                        done = True
+                        break
+                if done:
                     self._finish(slot)
-            self.cur_tokens = nxt
+            self.cur_tokens = np.array(emitted[:, -1])
