@@ -169,3 +169,49 @@ def test_prefetch_iterator():
     with pytest.raises(ValueError):
         for _ in it:
             pass
+
+
+@needs_tokenizer
+def test_train_cli_resume(tmp_path):
+    """True resume: a second invocation with --resume continues from the
+    checkpointed step (the reference never restored optimizer state)."""
+    from ullsam_tpu.train.cli import main
+
+    jsonl = _write_synthetic_dataset(str(tmp_path), img_size=64)
+    out = str(tmp_path / "run")
+    common = ["--mode", "segment", "--tiny", "--data_path", jsonl,
+              "--tokenizer_path", TOKENIZER_DIR, "--output_dir", out,
+              "--max_length", "192", "--batch_size", "2", "--epochs", "2",
+              "--log_every", "1", "--ckpt_every", "1",
+              "--sam_max_point_bs", "2", "--dp", "1", "--tp", "1"]
+    main(common + ["--max_steps", "1"])
+    main(common + ["--max_steps", "2", "--resume"])
+    lines = [json.loads(l) for l in
+             open(os.path.join(out, "logs", "metrics.jsonl"))]
+    steps = [r["step"] for r in lines]
+    assert 2 in steps, steps  # the resumed run logged step 2
+    assert np.isfinite(lines[-1]["loss"])
+
+
+@needs_tokenizer
+def test_train_cli_pretrain_mode(tmp_path):
+    """Pretrain mode: CE loss path, LLM trainable, no seg loss."""
+    from ullsam_tpu.train.cli import main
+
+    jsonl = _write_synthetic_dataset(str(tmp_path), img_size=64)
+    # pretrain dataset uses {image, conversations}; rewrite keys
+    rows = [json.loads(l) for l in open(jsonl)]
+    p2 = os.path.join(str(tmp_path), "pretrain.jsonl")
+    with open(p2, "w") as f:
+        for r in rows:
+            f.write(json.dumps({"image": r["image_path"],
+                                "conversations": r["conversation"]}) + "\n")
+    out = str(tmp_path / "run_pt")
+    main(["--mode", "pretrain", "--tiny", "--data_path", p2,
+          "--tokenizer_path", TOKENIZER_DIR, "--output_dir", out,
+          "--max_length", "192", "--batch_size", "2", "--epochs", "1",
+          "--max_steps", "1", "--log_every", "1", "--ckpt_every", "100",
+          "--dp", "1", "--tp", "1"])
+    rec = json.loads(open(os.path.join(out, "logs", "metrics.jsonl")
+                          ).read().strip().splitlines()[-1])
+    assert np.isfinite(rec["loss"]) and rec["loss"] > 0

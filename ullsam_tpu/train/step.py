@@ -83,10 +83,11 @@ def combine_params(trainable, frozen):
 
 
 def make_optimizer(params, tcfg: TrainConfig) -> optax.GradientTransformation:
+    warmup = max(1, int(tcfg.total_steps * tcfg.warmup_ratio))
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=tcfg.learning_rate,
-        warmup_steps=max(1, int(tcfg.total_steps * tcfg.warmup_ratio)),
-        decay_steps=tcfg.total_steps, end_value=0.0)
+        warmup_steps=warmup,
+        decay_steps=max(tcfg.total_steps, warmup + 1), end_value=0.0)
     decay_mask = map_with_paths(
         lambda p, x: not _match_any(p, tcfg.no_decay_patterns), params)
     return optax.chain(
@@ -127,8 +128,14 @@ def seg_loss_fn(params, cfg: FusionConfig, tcfg: TrainConfig, batch: dict
         params, cfg, batch["pixel_values"], batch["input_ids"],
         attention_mask=batch.get("attention_mask"),
         labels=batch.get("labels"),
-        output_dense_prompt=tcfg.use_llm_hidden_states,
+        output_dense_prompt=(tcfg.use_llm_hidden_states
+                             and tcfg.seg_weight != 0.0),
         stop_vision_gradient=False, remat=tcfg.remat)
+
+    if tcfg.seg_weight == 0.0:
+        # pretrain/sft modes: pure language CE, no mask decode
+        metrics = {"llm_loss": out["loss"], "loss": out["loss"]}
+        return out["loss"] * tcfg.llm_weight, metrics
 
     dense = out.get("dense_prompt")
 
