@@ -679,14 +679,26 @@ class AutomaticMaskGenerator:
         K = len(data["iou_preds"])
         masks_full = self._masks_to_host(data, device_masks, orig_size)
 
-        if self.min_mask_region_area > 0:
+        if self.min_mask_region_area > 0 and K:
+            changed = np.zeros(K, bool)
             for i in range(K):
-                m, _ = remove_small_regions(masks_full[i],
-                                            self.min_mask_region_area,
-                                            "holes")
-                m, _ = remove_small_regions(m, self.min_mask_region_area,
-                                            "islands")
+                m, ch1 = remove_small_regions(masks_full[i],
+                                              self.min_mask_region_area,
+                                              "holes")
+                m, ch2 = remove_small_regions(m, self.min_mask_region_area,
+                                              "islands")
                 masks_full[i] = m
+                changed[i] = ch1 or ch2
+            # cleanup can merge duplicates: re-run NMS preferring
+            # unchanged masks (upstream postprocess_small_regions behavior)
+            boxes_clean = np.asarray(batched_mask_to_box(
+                jnp.asarray(masks_full)))
+            scores = (~changed).astype(np.float32)
+            keep = nms(boxes_clean, scores, self.box_nms_thresh)
+            keep = np.sort(keep)
+            data.filter(keep)
+            masks_full = masks_full[keep]
+            K = len(keep)
 
         rles = mask_to_rle(masks_full) if K else []
         boxes_full = (np.asarray(batched_mask_to_box(

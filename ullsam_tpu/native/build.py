@@ -30,13 +30,18 @@ def build(verbose: bool = False) -> str:
     if os.path.exists(out):
         return out
     os.makedirs(BUILD_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           SRC, "-o", out + ".tmp"]
-    if verbose:
-        print(" ".join(cmd))
-    subprocess.run(cmd, check=True, capture_output=not verbose)
-    os.replace(out + ".tmp", out)
-    return out
+    for flags in (["-O3", "-march=native"], ["-O3"]):
+        cmd = (["g++"] + flags
+               + ["-shared", "-fPIC", "-std=c++17", SRC, "-o", out + ".tmp"])
+        if verbose:
+            print(" ".join(cmd))
+        try:
+            subprocess.run(cmd, check=True, capture_output=not verbose)
+            os.replace(out + ".tmp", out)
+            return out
+        except subprocess.CalledProcessError:
+            continue
+    raise RuntimeError("g++ build failed for native host ops")
 
 
 if __name__ == "__main__":
