@@ -36,7 +36,7 @@ NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 
-def _vit_kernel(q_ref, k_ref, v_ref, rhw_ref, o_ref,
+def _vit_kernel(q_ref, k_ref, v_ref, rhw_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, kh: int, kw: int, block_k: int):
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -84,6 +84,8 @@ def _vit_kernel(q_ref, k_ref, v_ref, rhw_ref, o_ref,
     @pl.when(ik == nk - 1)
     def _finish():
         o_ref[0] = (acc_scr[:] / l_scr[:, 0:1]).astype(o_ref.dtype)
+        lse = m_scr[:, 0:1] + jnp.log(l_scr[:, 0:1])
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _vit_attention_xla(q: Array, k: Array, v: Array, rel_h: Array,
@@ -99,10 +101,9 @@ def _vit_attention_xla(q: Array, k: Array, v: Array, rel_h: Array,
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def vit_flash_attention(q: Array, k: Array, v: Array, rel_h: Array,
-                        rel_w: Array, block_q: int = 512,
-                        block_k: int = 512) -> Array:
+def _vit_flash_impl(q: Array, k: Array, v: Array, rel_h: Array,
+                    rel_w: Array, block_q: int = 512,
+                    block_k: int = 512):
     """Flash attention with decomposed rel-pos bias.
 
     q, k, v: [B, N, D] (B = batch*heads folded), N = kh*kw grid tokens.
@@ -133,8 +134,16 @@ def vit_flash_attention(q: Array, k: Array, v: Array, rel_h: Array,
             pl.BlockSpec((1, block_q, KH + KW),
                          lambda b, iq, ik: (b, iq, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, iq, ik: (b, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, N, D), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, D), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, 8), lambda b, iq, ik: (b, iq, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, D), q.dtype),
+            # row logsumexp, lane-replicated x8 (a [B, N] output violates
+            # the (8, 128) tile rule for B > 1)
+            jax.ShapeDtypeStruct((B, N, 8), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -143,16 +152,32 @@ def vit_flash_attention(q: Array, k: Array, v: Array, rel_h: Array,
     )(qs, k, v, rel_hw)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def vit_flash_attention(q: Array, k: Array, v: Array, rel_h: Array,
+                        rel_w: Array, block_q: int = 512,
+                        block_k: int = 512) -> Array:
+    """Public entry: flash forward; custom fused backward (below)."""
+    return _vit_flash_impl(q, k, v, rel_h, rel_w, block_q, block_k)[0]
+
+
 def _vit_flash_fwd(q, k, v, rel_h, rel_w, block_q, block_k):
-    out = vit_flash_attention(q, k, v, rel_h, rel_w, block_q, block_k)
-    return out, (q, k, v, rel_h, rel_w)
+    out, lse = _vit_flash_impl(q, k, v, rel_h, rel_w, block_q, block_k)
+    return out, (q, k, v, rel_h, rel_w, out, lse)
+
+
+# The fused pallas backward (below) beats the XLA backward STANDALONE
+# (14.5 vs 26.9 ms fwd+bwd at ViT-B global size), but inside the full
+# rematerialized train graph it currently degrades the step 283ms -> 5s+
+# (scheduling interaction under jax.checkpoint — round-2 investigation).
+# Default to the exact XLA-math backward; flip USE_FUSED_BWD to opt in.
+USE_FUSED_BWD = False
 
 
 def _vit_flash_bwd(block_q, block_k, res, g):
-    """Backward via the XLA reference math: exact gradients, pays the
-    materialized-bias memory only in training. (A fused flash backward
-    kernel is a later optimization.)"""
-    q, k, v, rel_h, rel_w = res
+    q, k, v, rel_h, rel_w, out, lse = res
+    if USE_FUSED_BWD:
+        return _vit_flash_bwd_impl(q, k, v, rel_h, rel_w, out, lse, g,
+                                   block_q, block_k)
     _, vjp = jax.vjp(_vit_attention_xla, q, k, v, rel_h, rel_w)
     return vjp(g)
 
@@ -308,3 +333,172 @@ def reference_attention(q, k, v, q_seg, kv_seg, num_kv_heads, causal=True):
     probs = jnp.where(jnp.isnan(probs), 0.0, probs)
     return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# ViT flash backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _vit_bwd_dq_kernel(q_ref, k_ref, v_ref, rhw_ref, do_ref, lse_ref,
+                       dd_ref, dq_ref, drhw_ref, dq_scr, drhw_scr,
+                       *, kh: int, kw: int, block_k: int, scale: float):
+    """dq and d(rel_h|rel_w), q-tile major (k tiles innermost)."""
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+        drhw_scr[:] = jnp.zeros_like(drhw_scr)
+
+    q = q_ref[0]                      # [TQ, D] UNscaled
+    kk = k_ref[0]                     # [TK, D]
+    logits = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+    rows_per_tile = block_k // kw
+    rhw = rhw_ref[0]                  # [TQ, KH+KW]
+    rsel = jax.lax.broadcasted_iota(jnp.int32, (kh + kw, block_k), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (kh + kw, block_k), 1)
+    sel = ((rsel == (ik * rows_per_tile + kj // kw))
+           | (rsel == (kh + kj % kw))).astype(jnp.float32)
+    bias = jax.lax.dot_general(rhw, sel, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    p = jnp.exp(logits + bias - lse_ref[0][:, 0:1])           # [TQ, TK]
+
+    do = do_ref[0].astype(jnp.float32)                        # [TQ, D]
+    dov = jax.lax.dot_general(do, v_ref[0].astype(jnp.float32),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ds = p * (dov - dd_ref[0][:, 0:1])                        # [TQ, TK]
+
+    dq_scr[:] += jax.lax.dot_general(
+        ds, kk.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    drhw_scr[:] += jax.lax.dot_general(ds, sel, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+        drhw_ref[0] = drhw_scr[:]
+
+
+def _vit_bwd_dkv_kernel(q_ref, k_ref, v_ref, rhw_ref, do_ref, lse_ref,
+                        dd_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                        *, kh: int, kw: int, block_k: int, scale: float):
+    """dk and dv, k-tile major (q tiles innermost)."""
+    ik = pl.program_id(1)
+    iq = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    kk = k_ref[0]
+    logits = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+    rows_per_tile = block_k // kw
+    rhw = rhw_ref[0]
+    rsel = jax.lax.broadcasted_iota(jnp.int32, (kh + kw, block_k), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (kh + kw, block_k), 1)
+    sel = ((rsel == (ik * rows_per_tile + kj // kw))
+           | (rsel == (kh + kj % kw))).astype(jnp.float32)
+    bias = jax.lax.dot_general(rhw, sel, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    p = jnp.exp(logits + bias - lse_ref[0][:, 0:1])           # [TQ, TK]
+
+    do = do_ref[0].astype(jnp.float32)
+    dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dov = jax.lax.dot_general(do, v_ref[0].astype(jnp.float32),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ds = p * (dov - dd_ref[0][:, 0:1])
+    dk_scr[:] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(iq == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _vit_flash_bwd_impl(q, k, v, rel_h, rel_w, out, lse, g,
+                        block_q: int, block_k: int):
+    """Fused flash backward: O(N) memory, no materialized bias."""
+    B, N, D = q.shape
+    KH = rel_h.shape[-1]
+    KW = rel_w.shape[-1]
+    scale = D ** -0.5
+    rel_hw = jnp.concatenate([rel_h, rel_w], axis=-1).astype(jnp.float32)
+    dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                 axis=-1)
+    dd = jnp.broadcast_to(dd[..., None], dd.shape + (8,))  # lane-replicated
+
+    kern_q = functools.partial(_vit_bwd_dq_kernel, kh=KH, kw=KW,
+                               block_k=block_k, scale=scale)
+    dq, drhw = pl.pallas_call(
+        kern_q,
+        grid=(B, N // block_q, N // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_q, KH + KW),
+                         lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, D), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, 8), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, 8), lambda b, iq, ik: (b, iq, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, D), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, KH + KW),
+                         lambda b, iq, ik: (b, iq, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, D), q.dtype),
+            jax.ShapeDtypeStruct((B, N, KH + KW), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, KH + KW), jnp.float32),
+        ],
+    )(q, k, v, rel_hw, g, lse, dd)
+
+    kern_kv = functools.partial(_vit_bwd_dkv_kernel, kh=KH, kw=KW,
+                                block_k=block_k, scale=scale)
+    dk, dv = pl.pallas_call(
+        kern_kv,
+        grid=(B, N // block_k, N // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, block_q, KH + KW),
+                         lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, D), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, 8), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, 8), lambda b, ik, iq: (b, iq, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, D), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, ik, iq: (b, ik, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, D), k.dtype),
+            jax.ShapeDtypeStruct((B, N, D), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+    )(q, k, v, rel_hw, g, lse, dd)
+
+    drel_h = drhw[..., :KH].astype(rel_h.dtype)
+    drel_w = drhw[..., KH:].astype(rel_w.dtype)
+    return dq, dk, dv, drel_h, drel_w
