@@ -110,3 +110,60 @@ def test_beam_search():
     b = seq_logprob(np.asarray(beam_tokens))
     assert b >= g - 1e-4, (b, g)
     assert np.isfinite(float(beam_score))
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """Full converter CLI path: torch .pth -> npz -> params load."""
+    import torch
+
+    from tests.test_amg import TINY_SAM
+    from ullsam_tpu.convert.cli import main as convert_main
+    from ullsam_tpu.models.sam import sam as S
+    from ullsam_tpu.train.checkpoint import load_params_npz
+
+    # build a torch-style state dict from our own init via inverse mapping
+    params = S.sam_init(jax.random.PRNGKey(0), TINY_SAM)
+    from ullsam_tpu.core.tree import flatten_with_paths
+    import numpy as _np
+
+    # synthesize a minimal torch checkpoint with reference-layout keys for
+    # the prompt encoder only (full inverse mapping is exercised by the
+    # golden suite); here we check the CLI plumbing end to end with the
+    # sam_micro golden as the source .pth
+    import os
+    g = dict(_np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                   "sam_micro.npz")))
+    sd = {k: torch.tensor(v) for k, v in g.items()
+          if "." in k and k.split(".")[0] in
+          ("image_encoder", "prompt_encoder", "mask_decoder")}
+    pth = tmp_path / "sam_micro.pth"
+    torch.save(sd, str(pth))
+
+    out = tmp_path / "sam_micro.npz"
+    # the sam_micro golden uses a custom tiny config; monkeypatch registry
+    import ullsam_tpu.core.config as C
+    from tests.test_sam_parity import MD_TINY, PE_TINY
+    tiny_cfg = C.SamConfig(
+        vit=C.ViTConfig(img_size=64, patch_size=8, embed_dim=32, depth=2,
+                        num_heads=2, mlp_ratio=2.0, out_chans=32,
+                        window_size=2, global_attn_indexes=(1,)),
+        prompt_encoder=PE_TINY, mask_decoder=MD_TINY)
+    C.SAM_REGISTRY["_test_tiny"] = lambda: tiny_cfg
+    try:
+        convert_main(["--kind", "sam", "--variant", "_test_tiny",
+                      "--input", str(pth), "--output", str(out)])
+        assert out.exists()
+        template = S.sam_init(jax.random.PRNGKey(1), tiny_cfg)
+        loaded = load_params_npz(str(out), template)
+        # converted params reproduce the golden end-to-end output
+        image = jnp.asarray(g["image"].transpose(1, 2, 0))[None]
+        x = S.preprocess(image, tiny_cfg)
+        emb = S.encode_image(loaded, tiny_cfg, x)
+        low_res, iou = S.decode_masks(
+            loaded, tiny_cfg, emb,
+            points=(jnp.asarray(g["coords"]), jnp.asarray(g["labels"])),
+            multimask_output=True)
+        np.testing.assert_allclose(np.asarray(iou), g["iou_predictions"],
+                                   atol=1e-3)
+    finally:
+        C.SAM_REGISTRY.pop("_test_tiny")
