@@ -359,17 +359,6 @@ def make_fusion_tiny():
             state_dict_np(md, "mask_decoder.").items()})
 
 
-if __name__ == "__main__":
-    make_vit_tiny()
-    make_prompt_encoder_tiny()
-    make_mask_decoder_tiny()
-    make_rel_pos_interp()
-    make_sam_micro()
-    make_internlm2_tiny()
-    make_fusion_tiny()
-    make_conversation_goldens()
-    make_amg_goldens()
-
 def make_conversation_goldens():
     from modeling.conversation import get_conv_template
 
@@ -424,3 +413,101 @@ def make_amg_goldens():
          grid_all_2=all_grids[2],
          crop_boxes=np.asarray(crop_boxes, np.int64),
          layer_idxs=np.asarray(layer_idxs, np.int64))
+
+
+def _build_sam_micro():
+    from functools import partial
+    from modeling.image_encoder import ImageEncoderViT
+    from modeling.prompt_encoder import PromptEncoder
+    from modeling.mask_decoder import MaskDecoder
+    from modeling.transformer import TwoWayTransformer
+    from modeling.sam import Sam
+
+    torch.manual_seed(5)
+    sam = Sam(
+        image_encoder=ImageEncoderViT(
+            img_size=64, patch_size=8, embed_dim=32, depth=2, num_heads=2,
+            mlp_ratio=2.0, out_chans=32, qkv_bias=True,
+            norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+            use_abs_pos=True, use_rel_pos=True, window_size=2,
+            global_attn_indexes=(1,)),
+        prompt_encoder=PromptEncoder(
+            embed_dim=32, image_embedding_size=(8, 8),
+            input_image_size=(64, 64), mask_in_chans=8),
+        mask_decoder=MaskDecoder(
+            transformer_dim=32,
+            transformer=TwoWayTransformer(depth=2, embedding_dim=32,
+                                          mlp_dim=64, num_heads=2),
+            num_multimask_outputs=3, iou_head_depth=3, iou_head_hidden_dim=16),
+    ).eval()
+    randomize_zeros(sam)
+    return sam
+
+
+def make_onnx_model_golden():
+    """SamOnnxModel behavior on the sam_micro weights (utils/onnx.py:17-144):
+    mask-input lerp, best-mask selection, stability scores, orig-size
+    postprocess — all flag combinations."""
+    # utils/onnx.py relative-imports ..modeling: load it under a synthetic
+    # parent package rooted at the reference checkout
+    import types
+    if "refpkg" not in sys.modules:
+        pkg = types.ModuleType("refpkg")
+        pkg.__path__ = [REFERENCE]
+        sys.modules["refpkg"] = pkg
+    from refpkg.utils.onnx import SamOnnxModel
+
+    sam = _build_sam_micro()
+    torch.manual_seed(10)
+    embedding = torch.randn(1, 32, 8, 8)
+    coords3 = torch.rand(1, 3, 2) * 64
+    labels3 = torch.tensor([[1, 0, -1]], dtype=torch.float32)
+    coords2 = coords3[:, :2]
+    labels2 = torch.tensor([[1, -1]], dtype=torch.float32)
+    mask_input = torch.randn(1, 1, 32, 32)
+    orig_im_size = torch.tensor([48.0, 60.0])
+
+    out = {}
+    with torch.no_grad():
+        for tag, single, stab, extra, hm, coords, labels in [
+            ("multi_nomask", False, False, False, 0.0, coords3, labels3),
+            ("multi_mask", False, False, False, 1.0, coords3, labels3),
+            ("single_np3", True, False, False, 0.0, coords3, labels3),
+            ("single_np2", True, False, False, 1.0, coords2, labels2),
+            ("stab_extra", False, True, True, 1.0, coords3, labels3),
+        ]:
+            m = SamOnnxModel(sam, return_single_mask=single,
+                             use_stability_score=stab,
+                             return_extra_metrics=extra)
+            res = m(embedding, coords, labels, mask_input,
+                    torch.tensor([hm]), orig_im_size)
+            if extra:
+                up, sc, st, areas, low = res
+                out[tag + "_stability"] = st.numpy()
+                out[tag + "_areas"] = areas.numpy().astype(np.int64)
+            else:
+                up, sc, low = res
+            out[tag + "_upscaled"] = up.numpy()
+            out[tag + "_scores"] = sc.numpy()
+            out[tag + "_lowres"] = low.numpy()
+
+    save("onnx_model",
+         embedding=embedding.numpy(),
+         coords3=coords3.numpy(), labels3=labels3.numpy().astype(np.int64),
+         coords2=coords2.numpy(), labels2=labels2.numpy().astype(np.int64),
+         mask_input=mask_input.numpy(),
+         orig_im_size=np.asarray([48, 60], np.int64),
+         **out, **state_dict_np(sam))
+
+
+if __name__ == "__main__":
+    make_vit_tiny()
+    make_prompt_encoder_tiny()
+    make_mask_decoder_tiny()
+    make_rel_pos_interp()
+    make_sam_micro()
+    make_internlm2_tiny()
+    make_fusion_tiny()
+    make_conversation_goldens()
+    make_amg_goldens()
+    make_onnx_model_golden()
