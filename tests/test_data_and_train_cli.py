@@ -144,14 +144,42 @@ def test_train_cli_smoke(tmp_path):
         "--max_length", "192",
         "--batch_size", "2", "--epochs", "1", "--max_steps", "2",
         "--log_every", "1", "--ckpt_every", "2",
+        "--image_log_every", "2",
         "--sam_max_point_bs", "2", "--dp", "2", "--tp", "2",
     ])
     assert os.path.exists(os.path.join(out, "logs", "metrics.jsonl"))
     lines = open(os.path.join(out, "logs", "metrics.jsonl")).read().strip()
     assert lines, "no metrics logged"
-    rec = json.loads(lines.splitlines()[-1])
+    rec = [json.loads(l) for l in lines.splitlines() if '"loss"' in l][-1]
     assert np.isfinite(rec["loss"])
     assert os.path.isdir(os.path.join(out, "ckpt"))
+    # overlay-image logging fired at step 2 (train_joint_v2.py:1125-1167)
+    imgs = os.listdir(os.path.join(out, "logs", "images"))
+    assert any(f.startswith("segmentation_example") for f in imgs), imgs
+
+
+def test_segmentation_overlay_and_log_image(tmp_path):
+    from ullsam_tpu.train.metrics import MetricWriter, segmentation_overlay
+
+    img = np.zeros((16, 16, 3), np.float32)
+    pred = np.zeros((16, 16), bool)
+    pred[4:10, 4:10] = True
+    gt = np.zeros((16, 16), bool)
+    gt[5:11, 5:11] = True
+    vis = segmentation_overlay(img, pred, gt)
+    assert vis.shape == (16, 16, 3)
+    # pred boundary red where not overwritten by gt boundary
+    assert tuple(vis[4, 4]) == (1.0, 0.0, 0.0)
+    # gt boundary green (painted after pred)
+    assert tuple(vis[10, 10]) == (0.0, 1.0, 0.0)
+    # interior pixels untouched
+    assert tuple(vis[7, 7]) == (0.0, 0.0, 0.0)
+
+    w = MetricWriter(str(tmp_path / "logs"), use_tensorboard=False)
+    w.log_image(3, "segmentation_example", vis, caption="step 3")
+    w.close()
+    files = os.listdir(str(tmp_path / "logs" / "images"))
+    assert files and files[0].endswith((".png", ".npy"))
 
 
 def test_prefetch_iterator():

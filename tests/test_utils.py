@@ -67,3 +67,33 @@ def test_engine_streaming_matches_blocking():
         assert "".join(deltas).strip() == full
     finally:
         eng.shutdown()
+
+
+def test_resize_longest_side_batched_variants():
+    """apply_image_batch / apply_coords_device / apply_boxes_device match the
+    reference's torch variants (utils/transforms.py:55-91)."""
+    import torch
+    import torch.nn.functional as F
+
+    from ullsam_tpu.inference.transforms import ResizeLongestSide
+
+    t = ResizeLongestSide(32)
+    rs = np.random.RandomState(0)
+    imgs = rs.rand(2, 48, 20, 3).astype(np.float32)
+
+    out = np.asarray(t.apply_image_batch(jnp.asarray(imgs)))
+    ref = F.interpolate(torch.from_numpy(imgs).permute(0, 3, 1, 2),
+                        (32, 13), mode="bilinear", align_corners=False,
+                        antialias=True).permute(0, 2, 3, 1).numpy()
+    assert out.shape == (2, 32, 13, 3)
+    np.testing.assert_allclose(out, ref, atol=2e-2)
+
+    coords = rs.rand(3, 5, 2) * [20, 48]
+    got = np.asarray(t.apply_coords_device(jnp.asarray(coords), (48, 20)))
+    want = t.apply_coords(coords, (48, 20))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    boxes = np.asarray([[1.0, 2.0, 10.0, 40.0]])
+    gotb = np.asarray(t.apply_boxes_device(jnp.asarray(boxes), (48, 20)))
+    np.testing.assert_allclose(gotb, t.apply_boxes(boxes, (48, 20)),
+                               rtol=1e-6)

@@ -60,6 +60,38 @@ class ResizeLongestSide:
                               original_size)
         return b.reshape(-1, 4)
 
+    # --- batched on-device variants (utils/transforms.py:55-91) ---
+
+    def apply_image_batch(self, images: Array) -> Array:
+        """Batched float images [B, H, W, C] -> longest-side resize on
+        device (apply_image_torch, transforms.py:55-65). The reference uses
+        antialiased bilinear (antialias=True) here — jax.image.resize
+        applies the same downscale-scaled triangle filter — and notes this
+        'may not exactly match apply_image' (the model-facing transform)."""
+        h, w = images.shape[1], images.shape[2]
+        nh, nw = get_preprocess_shape(h, w, self.target_length)
+        if (nh, nw) == (h, w):
+            return images
+        return jax.image.resize(images,
+                                (images.shape[0], nh, nw, images.shape[3]),
+                                method="bilinear", antialias=True)
+
+    def apply_coords_device(self, coords: Array,
+                            original_size: Tuple[int, int]) -> Array:
+        """jit-friendly coord rescale [..., 2] (apply_coords_torch,
+        transforms.py:67-81); (x, y) order, original_size (H, W) static."""
+        old_h, old_w = original_size
+        new_h, new_w = get_preprocess_shape(old_h, old_w, self.target_length)
+        scale = jnp.asarray([new_w / old_w, new_h / old_h], jnp.float32)
+        return coords.astype(jnp.float32) * scale
+
+    def apply_boxes_device(self, boxes: Array,
+                           original_size: Tuple[int, int]) -> Array:
+        """jit-friendly box rescale [B, 4] (apply_boxes_torch,
+        transforms.py:83-91)."""
+        b = self.apply_coords_device(boxes.reshape(-1, 2, 2), original_size)
+        return b.reshape(-1, 4)
+
 
 def pad_to_square(image: np.ndarray, fill: int = 0):
     """Center pad to square (app.py:111-143). Returns (padded, pad_info)

@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1)
     # logging / ckpt
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--image_log_every", type=int, default=-1,
+                   help="overlay-image logging interval in steps; -1 = "
+                        "20*log_every (the reference's cadence, "
+                        "train_joint_v2.py:1125), 0 = off")
     p.add_argument("--ckpt_every", type=int, default=1000)
     p.add_argument("--max_steps", type=int, default=0, help="0 = by epochs")
     p.add_argument("--tensorboard", action="store_true")
@@ -115,9 +119,10 @@ def main(argv=None):
     from ullsam_tpu.parallel.partitioning import (create_mesh, shard_batch,
                                                   shard_params)
     from ullsam_tpu.train.checkpoint import CheckpointManager
-    from ullsam_tpu.train.metrics import MetricWriter, StepTimer
+    from ullsam_tpu.train.metrics import (MetricWriter, StepTimer,
+                                          segmentation_overlay)
     from ullsam_tpu.train.step import (TrainConfig, combine_params,
-                                       make_train_step,
+                                       make_pred_masks_fn, make_train_step,
                                        make_trainable_optimizer)
 
     cfg = make_configs(args)
@@ -188,6 +193,11 @@ def main(argv=None):
                           use_tensorboard=args.tensorboard,
                           use_wandb=args.wandb)
 
+    img_every = (20 * args.log_every if args.image_log_every < 0
+                 else args.image_log_every)
+    pred_fn = (make_pred_masks_fn(cfg, tcfg)
+               if img_every and args.mode in seg_modes else None)
+
     start_step, start_epoch = 0, 0
     if args.resume and ckpt.latest_step() is not None:
         trainable, opt_state, extra = ckpt.restore(trainable, opt_state)
@@ -217,6 +227,22 @@ def main(argv=None):
                     writer.write(step, m)
                     print(f"epoch {epoch} step {step}: " +
                           " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                if pred_fn is not None and step % img_every == 0:
+                    # pred-vs-GT boundary overlay (train_joint_v2.py:1125-1167)
+                    pred = pred_fn(combine_params(trainable, frozen), b)
+                    pred0 = np.asarray(pred[0, 0]) > 0.0  # == sigmoid > 0.5
+                    gt0 = np.asarray(b["masks"][0, 0]) > 0.5
+                    img0 = np.asarray(b["pixel_values"][0], np.float32)
+                    if img0.shape[:2] != pred0.shape:
+                        from ullsam_tpu.ops.resize import bilinear_resize_nhwc
+                        img0 = np.asarray(bilinear_resize_nhwc(
+                            jnp.asarray(img0)[None], *pred0.shape)[0])
+                    iou_val = float(np.asarray(metrics.get("iou", 0.0)))
+                    writer.log_image(
+                        step, "segmentation_example",
+                        segmentation_overlay(img0, pred0, gt0),
+                        caption=(f"Epoch {epoch}, Step {step}, "
+                                 f"IoU: {iou_val:.4f}"))
                 if step % args.ckpt_every == 0:
                     ckpt.save(step, trainable, opt_state,
                               extra={"step": step, "epoch": epoch})

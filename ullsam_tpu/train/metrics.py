@@ -45,6 +45,36 @@ class MetricWriter:
             except ImportError:
                 pass
 
+    def log_image(self, step: int, tag: str, image: np.ndarray,
+                  caption: str = "") -> None:
+        """Log one [H, W, 3] float image in [0, 1] (the reference logs
+        segmentation boundary overlays to wandb every N steps,
+        train_joint_v2.py:1125-1167). Written as PNG to <log_dir>/images/
+        plus TensorBoard/wandb when enabled; rank-0 only."""
+        if not self.is_main:
+            return
+        img8 = np.clip(np.asarray(image, np.float32) * 255.0,
+                       0, 255).astype(np.uint8)
+        img_dir = os.path.join(self.log_dir, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        safe_tag = tag.replace("/", "_")
+        try:
+            from PIL import Image
+            Image.fromarray(img8).save(
+                os.path.join(img_dir, f"{safe_tag}_{step:08d}.png"))
+        except ImportError:
+            np.save(os.path.join(img_dir, f"{safe_tag}_{step:08d}.npy"), img8)
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps(
+                {"step": step, "image": tag, "caption": caption}) + "\n")
+            self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.add_image(tag, img8, step, dataformats="HWC")
+        if self._wandb is not None:
+            import wandb
+            self._wandb.log({tag: wandb.Image(img8, caption=caption)},
+                            step=step)
+
     def write(self, step: int, metrics: Dict[str, float]) -> None:
         if not self.is_main:
             return
@@ -87,6 +117,38 @@ class StepTimer:
         if self.flops_per_step:
             out["mfu"] = self.flops_per_step / dt / self.PEAK_FLOPS
         return out
+
+
+def _boundary(mask: np.ndarray) -> np.ndarray:
+    """Mask boundary = mask XOR eroded(mask) (train_joint_v2.py:1141-1156)."""
+    try:
+        from scipy import ndimage
+        eroded = ndimage.binary_erosion(mask)
+    except ImportError:
+        eroded = mask.copy()
+        for shift, axis in ((1, 0), (-1, 0), (1, 1), (-1, 1)):
+            eroded &= np.roll(mask, shift, axis=axis)
+        eroded[0, :] = eroded[-1, :] = eroded[:, 0] = eroded[:, -1] = False
+    return np.logical_xor(mask, eroded)
+
+
+def segmentation_overlay(image: np.ndarray, pred_mask: np.ndarray,
+                         gt_mask: np.ndarray) -> np.ndarray:
+    """Boundary-overlay debug image: prediction boundary red, ground-truth
+    boundary green, over the min-max-normalized input
+    (train_joint_v2.py:1125-1160).
+
+    image [H, W, 3] float; pred_mask/gt_mask [H, W] bool. Returns [H, W, 3]
+    float in [0, 1].
+    """
+    img = np.asarray(image, np.float32)
+    img = (img - img.min()) / (img.max() - img.min() + 1e-5)
+    vis = img.copy()
+    pred_b = _boundary(np.asarray(pred_mask, bool))
+    gt_b = _boundary(np.asarray(gt_mask, bool))
+    vis[pred_b] = (1.0, 0.0, 0.0)
+    vis[gt_b] = (0.0, 1.0, 0.0)
+    return vis
 
 
 def train_step_flops(n_params: int, tokens_per_batch: int) -> float:

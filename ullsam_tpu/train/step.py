@@ -169,6 +169,46 @@ def seg_loss_fn(params, cfg: FusionConfig, tcfg: TrainConfig, batch: dict
     return total, metrics
 
 
+def make_pred_masks_fn(cfg: FusionConfig, tcfg: TrainConfig):
+    """jitted forward producing predicted instance-mask logits at GT
+    resolution for visualization (the reference overlays pred-vs-GT
+    boundaries to wandb every N steps, train_joint_v2.py:1125-1167).
+
+    Signature: fn(params, batch) -> [B, I, Hm, Wm] float logits.
+    Runs the same seg path as seg_loss_fn without the loss; call it only
+    every image-log interval (it is one extra forward).
+    """
+
+    def fn(params, batch):
+        out = F.fusion_forward(
+            params, cfg, batch["pixel_values"], batch["input_ids"],
+            attention_mask=batch.get("attention_mask"),
+            output_dense_prompt=tcfg.use_llm_hidden_states,
+            stop_vision_gradient=True, remat=False)
+        dense = out.get("dense_prompt")
+
+        def per_image(feats_i, dense_i, coords_i, labels_i):
+            low_res, _ = F.segment_with_prompts(
+                params, cfg, feats_i[None],
+                None if dense_i is None else dense_i[None],
+                coords_i, labels_i, multimask_output=False)
+            return low_res[:, 0]
+
+        if dense is None:
+            low = jax.vmap(lambda f, c, l: per_image(f, None, c, l))(
+                out["image_embeddings"], batch["point_coords"],
+                batch["point_labels"])
+        else:
+            low = jax.vmap(per_image)(out["image_embeddings"], dense,
+                                      batch["point_coords"],
+                                      batch["point_labels"])
+        Hm, Wm = batch["masks"].shape[-2:]
+        from ullsam_tpu.ops.resize import bilinear_resize
+        return bilinear_resize(low.astype(jnp.float32), Hm, Wm)
+
+    return jax.jit(fn)
+
+
 def train_step(trainable, frozen, opt_state, batch, cfg: FusionConfig,
                tcfg: TrainConfig, tx: optax.GradientTransformation):
     """One optimizer step over the trainable partition only."""
