@@ -99,3 +99,100 @@ def test_engine_concurrent_requests():
         assert a == b
     finally:
         eng.shutdown()
+
+
+def test_sample_token_dynamic_matches_static_warpers():
+    """Per-row dynamic sampler == static apply_warpers path for a uniform
+    config (same rng, same -inf pattern -> identical draws)."""
+    from ullsam_tpu.models.internlm2.generate import (GenerationConfig,
+                                                      SamplingParams,
+                                                      apply_warpers,
+                                                      sample_token,
+                                                      sample_token_dynamic)
+
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(4, 128) * 3, jnp.float32)
+    key = jax.random.PRNGKey(7)
+    for gen in [GenerationConfig(do_sample=True, temperature=0.7,
+                                 top_k=50, top_p=0.9),
+                GenerationConfig(do_sample=True, top_k=5),
+                GenerationConfig(do_sample=True, top_p=0.5),
+                GenerationConfig(do_sample=False)]:
+        samp = SamplingParams.from_configs([gen] * 4)
+        got = np.asarray(sample_token_dynamic(logits, samp, key))
+        want = np.asarray(sample_token(logits, gen, key))
+        np.testing.assert_array_equal(got, want, err_msg=str(gen))
+        # the kept-token sets agree too
+        if gen.do_sample:
+            warped = np.asarray(apply_warpers(logits, gen))
+            # recompute dynamic's warped logits via prob ratios: draw many
+            # samples cheaply by comparing finite masks
+            samp1 = SamplingParams.from_configs([gen] * 4)
+            l = np.asarray(logits, np.float64) / gen.temperature
+            # dynamic keeps exactly the tokens static kept
+            keys = jax.random.split(jax.random.PRNGKey(0), 32)
+            for k2 in keys[:4]:
+                np.testing.assert_array_equal(
+                    np.asarray(sample_token_dynamic(logits, samp1, k2)),
+                    np.asarray(sample_token(logits, gen, k2)))
+
+
+def test_sample_token_dynamic_mixed_rows():
+    """Row 0 greedy, row 1 top-k=1 sampled -> both deterministic argmax;
+    row 2 high-temp sampled stays within the top-k set."""
+    from ullsam_tpu.models.internlm2.generate import (SamplingParams,
+                                                      sample_token_dynamic)
+
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(3, 64) * 2, jnp.float32)
+    samp = SamplingParams(
+        temperature=jnp.asarray([1.0, 1.0, 5.0], jnp.float32),
+        top_k=jnp.asarray([0, 1, 8], jnp.int32),
+        top_p=jnp.asarray([1.0, 1.0, 1.0], jnp.float32),
+        do_sample=jnp.asarray([False, True, True]))
+    top8 = set(np.argsort(-np.asarray(logits[2]))[:8].tolist())
+    for seed in range(8):
+        out = np.asarray(sample_token_dynamic(logits, samp,
+                                              jax.random.PRNGKey(seed)))
+        assert out[0] == int(np.argmax(np.asarray(logits[0])))
+        assert out[1] == int(np.argmax(np.asarray(logits[1])))
+        assert int(out[2]) in top8
+
+
+@needs_tokenizer
+def test_engine_per_request_sampling():
+    """Greedy and sampled requests share the batch; greedy output is
+    unaffected by a concurrent sampled request (reference passes sampling
+    params per caption call, app.py:443-459)."""
+    import threading
+
+    from ullsam_tpu.models.internlm2.generate import GenerationConfig
+    from ullsam_tpu.serve.engine import GenerationEngine
+
+    cfg, params, tk = _tiny_setup()
+    eng = GenerationEngine(params, cfg, tk, max_batch=2, max_len=512,
+                           gen=GenerationConfig(max_new_tokens=6),
+                           cache_dtype=jnp.float32)
+    try:
+        baseline = eng.caption(None, "Same question", max_new_tokens=6)
+        results = {}
+
+        def greedy():
+            results["g"] = eng.caption(None, "Same question",
+                                       max_new_tokens=6)
+
+        def sampled():
+            results["s"] = eng.caption(None, "Other question",
+                                       max_new_tokens=6, do_sample=True,
+                                       temperature=0.7, top_p=0.9, top_k=50)
+
+        ts = [threading.Thread(target=greedy),
+              threading.Thread(target=sampled)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert results["g"] == baseline
+        assert isinstance(results["s"], str)
+    finally:
+        eng.shutdown()

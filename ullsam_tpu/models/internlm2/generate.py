@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +63,67 @@ def sample_token(logits: Array, gen: GenerationConfig, rng: Array) -> Array:
         return jnp.argmax(logits, axis=-1)
     warped = apply_warpers(logits, gen)
     return jax.random.categorical(rng, warped, axis=-1)
+
+
+class SamplingParams(NamedTuple):
+    """Per-row sampling knobs as ARRAYS, so one compiled decode step serves
+    requests with different generation configs (the reference passes
+    max_new_tokens/temperature/top_p/top_k/do_sample per caption call,
+    app.py:443-459)."""
+    temperature: Array  # [B] f32
+    top_k: Array        # [B] i32; 0 = disabled
+    top_p: Array        # [B] f32; 1.0 = disabled
+    do_sample: Array    # [B] bool
+
+    @staticmethod
+    def from_configs(gens, pad_to: Optional[int] = None) -> "SamplingParams":
+        """Build from a list of GenerationConfig (padded with greedy rows)."""
+        n = pad_to or len(gens)
+        t, k, p, s = ([1.0] * n, [0] * n, [1.0] * n, [False] * n)
+        for i, g in enumerate(gens):
+            if g is None:
+                continue
+            t[i], k[i], p[i], s[i] = (g.temperature, g.top_k, g.top_p,
+                                      g.do_sample)
+        return SamplingParams(jnp.asarray(t, jnp.float32),
+                              jnp.asarray(k, jnp.int32),
+                              jnp.asarray(p, jnp.float32),
+                              jnp.asarray(s, bool))
+
+
+def sample_token_dynamic(logits: Array, samp: SamplingParams,
+                         rng: Array) -> Array:
+    """[B, V] -> [B] with PER-ROW temperature/top-k/top-p/do_sample.
+
+    HF warper semantics (temperature -> top-k -> top-p) expressed as
+    per-row value thresholds over ONE descending value sort — no argsort
+    or scatter, so rows with different configs share the compiled step.
+    """
+    logits = logits.astype(jnp.float32)
+    B, V = logits.shape
+    greedy = jnp.argmax(logits, axis=-1)
+
+    l = logits / jnp.clip(samp.temperature, 1e-6)[:, None]
+    sorted_vals = -jnp.sort(-l, axis=-1)  # descending
+    # top-k: keep values >= the k-th largest (k=0 disables)
+    k = jnp.where(samp.top_k > 0, samp.top_k, V)
+    kth = jnp.take_along_axis(sorted_vals,
+                              jnp.clip(k - 1, 0, V - 1)[:, None], axis=-1)
+    l = jnp.where(l < kth, -jnp.inf, l)
+    # top-p on the post-top-k distribution: renormalize over the kept
+    # prefix, find how many sorted entries the nucleus keeps, and threshold
+    # at that value (prefix property of cumsum on a descending sort)
+    in_k = jnp.arange(V)[None, :] < k[:, None]
+    sorted_masked = jnp.where(in_k, sorted_vals, -jnp.inf)
+    probs = jax.nn.softmax(sorted_masked, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_sorted = (cum - probs) < samp.top_p[:, None]  # top token always kept
+    n_keep = jnp.maximum(jnp.sum(keep_sorted, axis=-1), 1)
+    pth = jnp.take_along_axis(sorted_masked, (n_keep - 1)[:, None], axis=-1)
+    l = jnp.where(l < pth, -jnp.inf, l)
+
+    sampled = jax.random.categorical(rng, l, axis=-1)
+    return jnp.where(samp.do_sample, sampled, greedy)
 
 
 def last_valid_index(attention_mask: Array) -> Array:

@@ -125,16 +125,21 @@ class AppServer:
         sess.t_sam = time.time() - t0
         return sess.current_iou
 
-    def caption(self, sess, question: str, max_new_tokens: int = 256) -> str:
+    def caption(self, sess, question: str, max_new_tokens: int = 256,
+                **sampling) -> str:
+        """sampling: temperature/top_p/top_k/do_sample per request — the
+        reference's caption generation_config (app.py:443-459)."""
         if self.engine is not None:
             return self.engine.caption(sess.model_input, question,
-                                       max_new_tokens=max_new_tokens)
+                                       max_new_tokens=max_new_tokens,
+                                       **sampling)
         from ullsam_tpu.models.internlm2.generate import GenerationConfig
         from ullsam_tpu.models.ullsam.chat import chat
 
+        overrides = {k: v for k, v in sampling.items() if v is not None}
         return chat(self.params, self.cfg, self.tokenizer, sess.model_input,
                     question, gen=GenerationConfig(
-                        max_new_tokens=max_new_tokens))
+                        max_new_tokens=max_new_tokens, **overrides))
 
     def view_png(self, sess) -> bytes:
         from PIL import Image
@@ -220,11 +225,16 @@ def make_handler(app: AppServer):
                     sess.reset_instances()
                     self._json({"ok": True})
                 elif self.path == "/api/caption":
+                    sampling = {
+                        k: cast(req[k]) for k, cast in
+                        [("temperature", float), ("top_p", float),
+                         ("top_k", int), ("do_sample", bool)] if k in req}
                     text = app.caption(sess,
                                        req.get("question",
                                                "Describe the image in "
                                                "detail."),
-                                       int(req.get("max_new_tokens", 256)))
+                                       int(req.get("max_new_tokens", 256)),
+                                       **sampling)
                     self._json({"ok": True, "caption": text})
                 elif self.path == "/api/view":
                     png = app.view_png(sess)

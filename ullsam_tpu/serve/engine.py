@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from ullsam_tpu.core.config import FusionConfig
 from ullsam_tpu.models.internlm2 import model as LLM
 from ullsam_tpu.models.internlm2.generate import (GenerationConfig,
-                                                  sample_token)
+                                                  SamplingParams,
+                                                  sample_token_dynamic)
 from ullsam_tpu.models.ullsam import fusion as F
 from ullsam_tpu.models.ullsam.conversation import (build_chat_prompt,
                                                    get_conv_template)
@@ -59,10 +60,13 @@ def _splice_slot(cache: LLM.KVCache, row: LLM.KVCache, slot) -> LLM.KVCache:
         index=cache.index)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "gen", "n_steps"))
-def _engine_step(params, cfg: FusionConfig, gen: GenerationConfig,
-                 tokens, cache: LLM.KVCache, active, rng,
-                 n_steps: int = 1):
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "dynamic_sampling",
+                                    "pad_token_id"))
+def _engine_step(params, cfg: FusionConfig, tokens, cache: LLM.KVCache,
+                 active, samp: SamplingParams, rng,
+                 n_steps: int = 1, dynamic_sampling: bool = False,
+                 pad_token_id: int = 2):
     """n_steps continuous-batching decode steps in ONE dispatch.
 
     On the axon relay each host sync costs tens of ms, so single-token
@@ -71,6 +75,11 @@ def _engine_step(params, cfg: FusionConfig, gen: GenerationConfig,
     hit EOS mid-chunk keep decoding harmlessly (their overrun cache
     entries are overwritten when the slot is re-admitted) and the host
     trims at the first EOS. Returns tokens [B, n_steps].
+
+    Sampling knobs are PER-ROW arrays (the reference takes temp/top_p/
+    top_k/do_sample per caption call, app.py:443-459); when every active
+    row is greedy the static dynamic_sampling=False variant skips the
+    warper sort entirely.
     """
     def body(carry, _):
         tokens, cache, rng = carry
@@ -78,8 +87,11 @@ def _engine_step(params, cfg: FusionConfig, gen: GenerationConfig,
         logits, cache = LLM.internlm2_decode_step_multi(
             params["llm"], cfg.llm, embeds, cache, active)
         rng, step_rng = jax.random.split(rng)
-        nxt = sample_token(logits, gen, step_rng).astype(jnp.int32)
-        nxt = jnp.where(active, nxt, gen.pad_token_id)
+        if dynamic_sampling:
+            nxt = sample_token_dynamic(logits, samp, step_rng)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = jnp.where(active, nxt.astype(jnp.int32), pad_token_id)
         return (nxt, cache, rng), nxt
 
     (tokens, cache, rng), emitted = jax.lax.scan(
@@ -87,11 +99,15 @@ def _engine_step(params, cfg: FusionConfig, gen: GenerationConfig,
     return emitted.T, cache, rng  # [B, n_steps]
 
 
+_sample_row = jax.jit(sample_token_dynamic)
+
+
 @dataclasses.dataclass
 class _Request:
     input_ids: np.ndarray        # [S] right-packed
     pixel_values: Optional[np.ndarray]
     max_new_tokens: int
+    gen: Optional[GenerationConfig] = None  # per-request sampling config
     event: threading.Event = dataclasses.field(default_factory=threading.Event)
     tokens: List[int] = dataclasses.field(default_factory=list)
     error: Optional[Exception] = None
@@ -131,8 +147,21 @@ class GenerationEngine:
 
     # -- public API -------------------------------------------------------
 
+    def _request_gen(self, temperature, top_p, top_k, do_sample
+                     ) -> GenerationConfig:
+        """Per-request GenerationConfig, engine defaults where None
+        (reference caption params: app.py:443-459)."""
+        overrides = {k: v for k, v in [("temperature", temperature),
+                                       ("top_p", top_p), ("top_k", top_k),
+                                       ("do_sample", do_sample)]
+                     if v is not None}
+        return dataclasses.replace(self.gen, **overrides)
+
     def caption(self, pixel_values: Optional[np.ndarray], question: str,
-                max_new_tokens: int = 256, timeout: float = 600.0) -> str:
+                max_new_tokens: int = 256, timeout: float = 600.0,
+                temperature: Optional[float] = None,
+                top_p: Optional[float] = None, top_k: Optional[int] = None,
+                do_sample: Optional[bool] = None) -> str:
         """Blocking chat/caption request (thread-safe, batched)."""
         prompt = build_chat_prompt(self.cfg.template, question,
                                    num_image_token=self.cfg.num_image_token,
@@ -141,7 +170,9 @@ class GenerationEngine:
         if len(ids) + max_new_tokens > self.max_len:
             raise ValueError(f"prompt too long ({len(ids)} tokens)")
         req = _Request(np.asarray(ids, np.int32), pixel_values,
-                       max_new_tokens)
+                       max_new_tokens,
+                       gen=self._request_gen(temperature, top_p, top_k,
+                                             do_sample))
         req.real_len = len(ids)
         self.queue.put(req)
         if not req.event.wait(timeout):
@@ -154,7 +185,11 @@ class GenerationEngine:
 
     def stream_caption(self, pixel_values: Optional[np.ndarray],
                        question: str, max_new_tokens: int = 256,
-                       timeout: float = 600.0):
+                       timeout: float = 600.0,
+                       temperature: Optional[float] = None,
+                       top_p: Optional[float] = None,
+                       top_k: Optional[int] = None,
+                       do_sample: Optional[bool] = None):
         """Streaming generator of text deltas (the reference's stream_chat,
         modeling_internlm2.py:1230-1292, rebuilt on the batched engine)."""
         prompt = build_chat_prompt(self.cfg.template, question,
@@ -164,7 +199,9 @@ class GenerationEngine:
         if len(ids) + max_new_tokens > self.max_len:
             raise ValueError(f"prompt too long ({len(ids)} tokens)")
         req = _Request(np.asarray(ids, np.int32), pixel_values,
-                       max_new_tokens, stream=queue.Queue())
+                       max_new_tokens, stream=queue.Queue(),
+                       gen=self._request_gen(temperature, top_p, top_k,
+                                             do_sample))
         self.queue.put(req)
         sep = get_conv_template(self.cfg.template).sep.strip()
         emitted = ""
@@ -205,7 +242,9 @@ class GenerationEngine:
         logits, row_cache = _prefill_row(self.params, self.cfg, ids, mask,
                                          pv, row_cache)
         self.rng, srng = jax.random.split(self.rng)
-        tok = int(np.asarray(sample_token(logits, self.gen, srng))[0])
+        gen = req.gen or self.gen
+        tok = int(np.asarray(_sample_row(
+            logits, SamplingParams.from_configs([gen]), srng))[0])
         self.cache = _splice_slot(self.cache, row_cache,
                                   jnp.asarray(slot, jnp.int32))
         self.slots[slot] = req
@@ -266,10 +305,18 @@ class GenerationEngine:
                 self.steps_per_dispatch,
                 min(self.slot_budget[s] for s in active_slots))
             n_steps = max(1, n_steps)
+            slot_gens = [(self.slots[i].gen or self.gen)
+                         if self.slots[i] is not None else None
+                         for i in range(self.max_batch)]
+            dynamic = any(g is not None and g.do_sample for g in slot_gens)
+            samp = SamplingParams.from_configs(slot_gens,
+                                               pad_to=self.max_batch)
             emitted, self.cache, self.rng = _engine_step(
-                self.params, self.cfg, self.gen,
+                self.params, self.cfg,
                 jnp.asarray(self.cur_tokens), self.cache,
-                jnp.asarray(active), self.rng, n_steps=n_steps)
+                jnp.asarray(active), samp, self.rng, n_steps=n_steps,
+                dynamic_sampling=dynamic,
+                pad_token_id=self.gen.pad_token_id)
             emitted = np.array(emitted)  # [B, n_steps]
             for slot in active_slots:
                 req = self.slots[slot]
