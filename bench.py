@@ -69,10 +69,26 @@ def bench_point_masks(n_prompts: int = 64, iters: int = 5):
 def main():
     from ullsam_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    extra = {}
     try:
-        from ullsam_tpu.inference.amg import bench_amg  # noqa: F401
-        value = bench_amg(variant="vit_h")
+        from ullsam_tpu.inference.amg import bench_amg_stats  # noqa: F401
+        det = bench_amg_stats(variant="vit_h")
+        value = det["masks_per_sec"]
         metric, unit = "amg_masks_per_sec_vith", "masks/s/chip"
+        # realistic production config (upstream defaults, SURVEY §2.13):
+        # thresholds 0.88/0.95 + device NMS 0.7. Under random weights the
+        # committed-mask count is meaningless (the IoU head commits ~nothing
+        # and NMS collapses near-identical masks), so the honest realistic
+        # number is images swept per second.
+        real = bench_amg_stats(variant="vit_h", pred_iou_thresh=0.88,
+                               stability_score_thresh=0.95,
+                               box_nms_thresh=0.7)
+        extra = {
+            "realistic_config_images_per_sec":
+                round(real["images_per_sec"], 3),
+            "realistic_config_committed_masks": real["committed_masks"],
+            "vs_baseline_denominator": "estimate (docs/BENCHMARKS.md)",
+        }
     except ImportError:
         value = bench_point_masks()
         metric, unit = "point_prompt_masks_per_sec_vitb", "masks/s/chip"
@@ -82,6 +98,7 @@ def main():
         "value": round(float(value), 3),
         "unit": unit,
         "vs_baseline": round(float(value) / REF_BASELINE_MASKS_PER_SEC, 3),
+        **extra,
     }))
 
 
