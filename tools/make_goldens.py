@@ -500,6 +500,105 @@ def make_onnx_model_golden():
          **out, **state_dict_np(sam))
 
 
+def make_sam_vitb_full_golden():
+    """Flagship-shape golden: FULL-SIZE SAM ViT-B (1024^2, window 14,
+    global [2,5,8,11] — build_sam.py:37-44,60-101) end-to-end point->mask.
+    Weights are synthesized per-key (tools/synth_weights.py) so only the
+    manifest + outputs are stored, not ~360MB of parameters."""
+    from functools import partial
+    from modeling.image_encoder import ImageEncoderViT
+    from modeling.prompt_encoder import PromptEncoder
+    from modeling.mask_decoder import MaskDecoder
+    from modeling.transformer import TwoWayTransformer
+    from modeling.sam import Sam
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synth_weights import (manifest_to_arrays, synth_array)
+
+    sam = Sam(
+        image_encoder=ImageEncoderViT(
+            depth=12, embed_dim=768, img_size=1024, mlp_ratio=4,
+            norm_layer=partial(torch.nn.LayerNorm, eps=1e-6), num_heads=12,
+            patch_size=16, qkv_bias=True, use_rel_pos=True,
+            global_attn_indexes=[2, 5, 8, 11], window_size=14,
+            out_chans=256),
+        prompt_encoder=PromptEncoder(
+            embed_dim=256, image_embedding_size=(64, 64),
+            input_image_size=(1024, 1024), mask_in_chans=16),
+        mask_decoder=MaskDecoder(
+            num_multimask_outputs=3,
+            transformer=TwoWayTransformer(depth=2, embedding_dim=256,
+                                          mlp_dim=2048, num_heads=8),
+            transformer_dim=256, iou_head_depth=3, iou_head_hidden_dim=256),
+    ).eval()
+    manifest = [(k, tuple(v.shape)) for k, v in sam.state_dict().items()]
+    sam.load_state_dict({k: torch.from_numpy(synth_array(k, s))
+                         for k, s in manifest})
+
+    # original 768x1000 image, longest-side-resized to 786x1024 (test
+    # regenerates the image from the same seed instead of storing 3MB)
+    image = torch.from_numpy(
+        (np.random.RandomState(123).rand(3, 786, 1024) * 255
+         ).astype(np.float32))
+    coords = torch.tensor([[[512.5, 400.25], [210.0, 713.0]]])
+    labels = torch.tensor([[1, 0]])
+    with torch.no_grad():
+        emb = sam.image_encoder(sam.preprocess(image[None]))
+        out = sam([{"image": image, "original_size": (768, 1000),
+                    "point_coords": coords, "point_labels": labels}],
+                  multimask_output=True)
+    masks = out[0]["masks"].numpy()  # [1, 3, 768, 1000] bool
+    keys, shapes = manifest_to_arrays(manifest)
+    save("sam_vitb_full",
+         manifest_keys=keys, manifest_shapes=shapes,
+         coords=coords.numpy(), labels=labels.numpy(),
+         emb=emb.numpy().astype(np.float16),
+         low_res=out[0]["low_res_logits"].numpy().astype(np.float16),
+         iou=out[0]["iou_predictions"].numpy(),
+         masks_packed=np.packbits(masks),
+         masks_shape=np.asarray(masks.shape, np.int64))
+
+
+def make_internlm2_fulldims_golden():
+    """Flagship-shape golden: real-dims InternLM2 block stack (hidden 2048,
+    GQA 16:8, intermediate 8192, vocab 92553 — configuration_internlm2.py
+    :77-150 as deployed in InternVL2.5-2B) at 2 layers, synthesized weights."""
+    from modeling.configuration_internlm2 import InternLM2Config as RefCfg
+    from modeling.modeling_internlm2 import InternLM2ForCausalLM
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synth_weights import manifest_to_arrays, synth_array
+
+    cfg = RefCfg(
+        vocab_size=92553, hidden_size=2048, intermediate_size=8192,
+        num_hidden_layers=2, num_attention_heads=16, num_key_value_heads=8,
+        max_position_embeddings=32768, bias=False, tie_word_embeddings=False,
+        rms_norm_eps=1e-5, rope_theta=1000000.0, rope_scaling=None,
+        attn_implementation="eager", torch_dtype="float32",
+        pad_token_id=2, bos_token_id=1, eos_token_id=2)
+    m = InternLM2ForCausalLM(cfg).float().eval()
+    manifest = [(k, tuple(v.shape)) for k, v in m.state_dict().items()]
+    m.load_state_dict({k: torch.from_numpy(synth_array(k, s))
+                       for k, s in manifest})
+
+    rs = np.random.RandomState(11)
+    ids = rs.randint(3, 92553, (2, 48))
+    attn = np.ones((2, 48), np.int64)
+    attn[1, 32:] = 0  # padded row exercises the mask path
+    with torch.no_grad():
+        out = m(input_ids=torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(attn),
+                output_hidden_states=True)
+    hs = torch.stack(out.hidden_states, 0)  # [L+1, B, S, H]
+    keys, shapes = manifest_to_arrays(manifest)
+    save("internlm2_fulldims",
+         manifest_keys=keys, manifest_shapes=shapes,
+         input_ids=ids.astype(np.int64), attention_mask=attn,
+         hidden_states=hs.numpy().astype(np.float16),
+         logits_head=out.logits[:, :, :512].numpy().astype(np.float16),
+         argmax=out.logits.argmax(-1).numpy().astype(np.int32))
+
+
 if __name__ == "__main__":
     make_vit_tiny()
     make_prompt_encoder_tiny()
@@ -511,3 +610,5 @@ if __name__ == "__main__":
     make_conversation_goldens()
     make_amg_goldens()
     make_onnx_model_golden()
+    make_sam_vitb_full_golden()
+    make_internlm2_fulldims_golden()
