@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -82,24 +84,88 @@ def predict_masks(params: dict, cfg: MaskDecoderConfig,
     iou_token_out = hs[:, 0, :]
     mask_tokens_out = hs[:, 1:1 + nm, :]
 
-    # upscale image features 4x: convT(s2) -> LN -> GELU -> convT(s2) -> GELU
-    up = params["upscale"]
-    src = keys.reshape(keys.shape[0], H, W, C)
-    x = L.conv_transpose2d(up["convt1"], src, stride=(2, 2))
-    x = L.gelu(L.layer_norm(up["ln"], x, eps=1e-6))
-    x = L.gelu(L.conv_transpose2d(up["convt2"], x, stride=(2, 2)))  # [B,4H,4W,d/8]
-
     # hypernetwork heads: stack the nm small MLPs and evaluate batched
     hyper_in = jnp.stack(
         [L.mlp_stack(params["hyper_mlps"][i], mask_tokens_out[:, i, :])
          for i in range(nm)], axis=1)  # [B, nm, d/8]
-    up_flat = x.reshape(x.shape[0], 4 * H * 4 * W, x.shape[-1])
-    masks = jnp.einsum("bmc,bnc->bmn", hyper_in, up_flat,
-                       preferred_element_type=jnp.float32)
-    masks = masks.reshape(B, nm, 4 * H, 4 * W).astype(x.dtype)
+
+    masks = _upscale_hypernet_block(params["upscale"], hyper_in, keys, H, W)
 
     iou_pred = L.mlp_stack(params["iou_head"], iou_token_out)
     return masks, iou_pred
+
+
+def _upscale_hypernet_block(up: dict, hyper_in: Array, keys: Array,
+                            H: int, W: int) -> Array:
+    """4x upscale (two k=s=2 transposed convs + LN + GELU,
+    mask_decoder.py:53-69) and hypernetwork dot products in BLOCK layout.
+
+    With kernel == stride, a transposed conv is a per-pixel matmul: output
+    pixel (2i+di, 2j+dj) depends only on input pixel (i, j). The naive
+    spatial interleave (einsum + 6-D transpose per conv) materialized
+    ~2.6 GB of f32 layout copies per 256-prompt AMG decode chunk — ~20 ms
+    of a 62 ms chunk. Here the 2x2 sub-pixel indices ride along as
+    channel-like dims through both convs, the LN/GELUs, and the hypernet
+    contraction; ONE transpose of the final [B, nm, 4H*4W] bf16 masks
+    (~134 MB) restores spatial order.
+
+    keys: [B, H*W, C] transformer image output. Returns [B, nm, 4H, 4W].
+    """
+    B, N, C = keys.shape
+    nm = hyper_in.shape[1]
+    dtype = keys.dtype
+
+    W1 = up["convt1"]["kernel"]                      # [2, 2, C, C/4] HWIO
+    C4 = W1.shape[-1]
+    w1 = jnp.transpose(W1, (2, 0, 1, 3)).reshape(C, 4 * C4).astype(dtype)
+    u1 = jnp.dot(keys, w1, preferred_element_type=jnp.float32)
+    if "bias" in up["convt1"]:
+        u1 = u1 + jnp.tile(up["convt1"]["bias"].astype(jnp.float32), 4)
+
+    # grouped LayerNorm over each of the four C4-wide sub-pixel groups,
+    # WITHOUT reshaping the 4*C4 lane dim: group statistics via tiny 0/1
+    # matmuls (lane-dim splits forced ~3 GB of f32 relayout/broadcast
+    # traffic per 256-prompt chunk)
+    group = jnp.asarray(np.kron(np.eye(4), np.ones((C4, 1))) / C4,
+                        jnp.float32)                 # [4*C4, 4] mean-pool
+    expand = jnp.asarray(np.kron(np.eye(4), np.ones((1, C4))),
+                         jnp.float32)                # [4, 4*C4] broadcast
+    m1 = jnp.dot(u1, group)                          # [B, N, 4]
+    m2 = jnp.dot(jnp.square(u1), group)
+    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    scale = jnp.tile(up["ln"]["scale"].astype(jnp.float32), 4)
+    bias = jnp.tile(up["ln"]["bias"].astype(jnp.float32), 4)
+    u1 = ((u1 - jnp.dot(m1, expand)) * jnp.dot(inv, expand)) * scale + bias
+    u1 = L.gelu(u1).astype(dtype)                    # [B, N, 4*C4]
+
+    # convT2 as ONE lane-native matmul: block-diagonal [4*C4, 4*(4*C8)]
+    # (each (di,dj) group maps to its own (ei,ej,c8) span; the 4x zero
+    # padding costs idle MXU flops instead of relayout copies)
+    W2 = up["convt2"]["kernel"]                      # [2, 2, C4, C/8]
+    C8 = W2.shape[-1]
+    w2 = jnp.transpose(W2, (2, 0, 1, 3)).reshape(C4, 4 * C8)
+    w2bd = jnp.zeros((4 * C4, 16 * C8), w2.dtype)
+    for d in range(4):
+        w2bd = jax.lax.dynamic_update_slice(w2bd, w2, (d * C4, d * 4 * C8))
+    u2 = jnp.dot(u1, w2bd.astype(dtype),
+                 preferred_element_type=jnp.float32)  # [B, N, 16*C8]
+    if "bias" in up["convt2"]:
+        u2 = u2 + jnp.tile(up["convt2"]["bias"].astype(jnp.float32), 16)
+    u2 = L.gelu(u2.astype(dtype))                    # cols: (di,dj,ei,ej,c8)
+
+    # hypernet dot as a per-prompt block-diagonal matmul over the SAME
+    # lane layout: Hbd[(e, c8), (m, e')] = hyper[m, c8] iff e == e'
+    eye16 = jnp.eye(16, dtype=dtype)                 # e == e'
+    # [B, 16*C8, nm*16]: kron(eye16, hyper^T) per batch, cols (m, e)
+    hbd = jnp.einsum("ef,bmc->becmf", eye16,
+                     hyper_in.astype(dtype)).reshape(B, 16 * C8, nm * 16)
+    masks = jnp.einsum("bnk,bko->bno", u2, hbd,
+                       preferred_element_type=jnp.float32).astype(dtype)
+    # cols o = (m, di, dj, ei, ej); 4H = 4i+2di+ei, 4W = 4j+2dj+ej
+    masks = masks.reshape(B, H, W, nm, 2, 2, 2, 2)
+    masks = jnp.transpose(masks, (0, 3, 1, 4, 6, 2, 5, 7))
+    return masks.reshape(B, nm, 4 * H, 4 * W)
 
 
 def mask_decoder_apply(params: dict, cfg: MaskDecoderConfig,
