@@ -77,3 +77,77 @@ def test_vit_flash_fused_backward_optin():
                                        atol=1e-5, err_msg=name)
     finally:
         FA.USE_FUSED_BWD = old
+
+
+def test_fused_upscale_hypernet_kernel_matches_xla():
+    """Pallas upscale+hypernet kernel (interpret mode) vs the XLA
+    block-column reference. The kernel uses tanh-GELU (Mosaic has no erf),
+    so tolerance covers the <=1.5e-3 gelu deviation on top of bf16."""
+    from ullsam_tpu.ops import layers as L
+    from ullsam_tpu.models.sam.mask_decoder import (_upscale_hypernet_cols,
+                                                    _upscale_weight_views)
+    from ullsam_tpu.ops.pallas import decoder as PD
+
+    C = 256
+    k = jax.random.PRNGKey(0)
+    up = {"convt1": L.conv_init(jax.random.PRNGKey(1), C, C // 4, (2, 2)),
+          "ln": L.layer_norm_init(C // 4),
+          "convt2": L.conv_init(jax.random.PRNGKey(2), C // 4, C // 8,
+                                (2, 2))}
+    B, N = 2, 1024
+    keys = jax.random.normal(k, (B, N, C), jnp.float32).astype(jnp.bfloat16)
+    hyper = jax.random.normal(jax.random.PRNGKey(3), (B, 4, C // 8),
+                              jnp.float32) * 0.1
+    ref = _upscale_hypernet_cols(up, hyper, keys)
+    w1c, b1t, lns, lnb, w2bd, b2t = _upscale_weight_views(up)
+    out = PD.fused_upscale_hypernet(keys, hyper, w1c, b1t, lns, lnb, w2bd,
+                                    b2t, block_n=512, interpret=True)
+    d = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    scale = np.abs(np.asarray(ref, np.float32)).max()
+    assert d.max() <= 0.02 * scale, (d.max(), scale)
+
+
+def test_decode_masks_cols_matches_decode_masks():
+    """Block-column decode (AMG fast path) is a pure relayout of
+    decode_masks: identical mask values, iou, stability, and boxes."""
+    from ullsam_tpu.core.config import (MaskDecoderConfig,
+                                        PromptEncoderConfig, SamConfig,
+                                        ViTConfig)
+    from ullsam_tpu.models.sam import sam as S
+    from ullsam_tpu.models.sam.mask_decoder import cols_to_spatial
+    from ullsam_tpu.inference import amg as A
+
+    cfg = SamConfig(
+        vit=ViTConfig(img_size=64, patch_size=8, embed_dim=16, depth=2,
+                      num_heads=2, mlp_ratio=2.0, out_chans=16,
+                      window_size=2, global_attn_indexes=(1,)),
+        prompt_encoder=PromptEncoderConfig(embed_dim=16,
+                                           image_embedding_size=(8, 8),
+                                           input_image_size=(64, 64),
+                                           mask_in_chans=8),
+        mask_decoder=MaskDecoderConfig(transformer_dim=16,
+                                       transformer_mlp_dim=32,
+                                       transformer_num_heads=2,
+                                       iou_head_hidden_dim=8))
+    params = S.sam_init(jax.random.PRNGKey(0), cfg)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 16))
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (5, 1, 2)) * 64
+    labels = jnp.ones((5, 1), jnp.int32)
+    for mm in (True, False):
+        low, iou1 = S.decode_masks(params, cfg, emb, points=(pts, labels),
+                                   multimask_output=mm)
+        cols, iou2 = S.decode_masks_cols(params, cfg, emb,
+                                         points=(pts, labels),
+                                         multimask_output=mm)
+        M = iou1.shape[1]
+        sp = cols_to_spatial(cols, M, 8, 8)
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(low),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(iou1), np.asarray(iou2))
+        st1 = A.calculate_stability_score(
+            low.reshape(-1, 32, 32), 0.0, 1.0)
+        st2 = A.stability_score_cols(cols, M, 0.0, 1.0).reshape(-1)
+        np.testing.assert_allclose(np.asarray(st1), np.asarray(st2))
+        b1 = A.batched_mask_to_box(low.reshape(-1, 32, 32) > 0.0)
+        b2 = A.mask_to_box_cols(cols > 0.0, M, 8, 8).reshape(-1, 4)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2))

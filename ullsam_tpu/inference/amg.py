@@ -141,6 +141,41 @@ def batched_mask_to_box(masks: Array) -> Array:
     return jnp.where(empty[..., None], 0, box).astype(jnp.float32)
 
 
+def stability_score_cols(masks_cols: Array, nm: int, mask_threshold: float,
+                         threshold_offset: float) -> Array:
+    """Stability scores from BLOCK-COLUMN mask logits [B, N, nm*16]
+    (sam.decode_masks_cols layout). Pixel counts are layout-invariant:
+    sum over rows and each mask's 16 sub-pixel columns. Returns [B, nm]
+    identical to calculate_stability_score on the spatial layout."""
+    B, N, _ = masks_cols.shape
+    hi = jnp.sum(masks_cols > (mask_threshold + threshold_offset),
+                 axis=1, dtype=jnp.int32).reshape(B, nm, 16).sum(-1)
+    lo = jnp.sum(masks_cols > (mask_threshold - threshold_offset),
+                 axis=1, dtype=jnp.int32).reshape(B, nm, 16).sum(-1)
+    return hi.astype(jnp.float32) / jnp.maximum(lo, 1).astype(jnp.float32)
+
+
+def mask_to_box_cols(masks_cols: Array, nm: int, H: int, W: int) -> Array:
+    """Boxes from BLOCK-COLUMN bool masks [B, H*W, nm*16] -> [B, nm, 4]
+    xyxy in low-res (4H x 4W) pixels, matching batched_mask_to_box on the
+    spatial layout (row 4i+2di+ei, col 4j+2dj+ej)."""
+    B = masks_cols.shape[0]
+    x = masks_cols.reshape(B, H, W, nm, 2, 2, 2, 2)  # (i, j, m, di,dj,ei,ej)
+    any_row = jnp.any(x, axis=(2, 5, 7))             # [B, H, nm, di, ei]
+    any_row = jnp.transpose(any_row, (0, 2, 1, 3, 4)).reshape(B, nm, 4 * H)
+    any_col = jnp.any(x, axis=(1, 4, 6))             # [B, W, nm, dj, ej]
+    any_col = jnp.transpose(any_col, (0, 2, 1, 3, 4)).reshape(B, nm, 4 * W)
+    rows = jnp.arange(4 * H)
+    cols = jnp.arange(4 * W)
+    top = jnp.min(jnp.where(any_row, rows, 4 * H), axis=-1)
+    bottom = jnp.max(jnp.where(any_row, rows, -1), axis=-1)
+    left = jnp.min(jnp.where(any_col, cols, 4 * W), axis=-1)
+    right = jnp.max(jnp.where(any_col, cols, -1), axis=-1)
+    empty = ~jnp.any(any_row, axis=-1)
+    box = jnp.stack([left, top, right, bottom], axis=-1)
+    return jnp.where(empty[..., None], 0, box).astype(jnp.float32)
+
+
 def box_iou(boxes1: np.ndarray, boxes2: np.ndarray) -> np.ndarray:
     """Pairwise IoU for xyxy boxes (host numpy)."""
     a1 = np.maximum(boxes1[:, 2] - boxes1[:, 0], 0) * np.maximum(
@@ -342,6 +377,16 @@ def _upscale_threshold(cfg: SamConfig, low_res, out_h: int, out_w: int,
     return up > cfg.mask_threshold
 
 
+def _cols_to_spatial_masks(sel16, H: int, W: int):
+    """Selected block-column logits [K, H*W, 16] -> spatial [K, 4H, 4W].
+    The layout restore happens AFTER top-k selection, on ~33 MB instead of
+    the full candidate set."""
+    K = sel16.shape[0]
+    sp = sel16.reshape(K, H, W, 2, 2, 2, 2)          # (i, j, di,dj,ei,ej)
+    sp = jnp.transpose(sp, (0, 1, 3, 5, 2, 4, 6))    # (i, di, ei, j, dj, ej)
+    return sp.reshape(K, 4 * H, 4 * W)
+
+
 def _device_box_iou(boxes: Array) -> Array:
     """Pairwise IoU [N, N] on device for xyxy boxes."""
     area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * jnp.maximum(
@@ -410,29 +455,32 @@ def _amg_device_sweep(params, cfg: SamConfig, image, points,
                              input_hw[1])
     emb = S.encode_image(params, cfg,
                          S.preprocess(x, cfg).astype(compute_dtype))
+    H, W = emb.shape[1], emb.shape[2]
     n_chunks = points.shape[0] // points_per_batch
     chunks = points.reshape(n_chunks, points_per_batch, 2)
 
     def do_chunk(pts):
         labels = jnp.ones((points_per_batch, 1), jnp.int32)
-        low_res, iou = S.decode_masks(params, cfg, emb,
-                                      points=(pts[:, None, :], labels),
-                                      multimask_output=True)
-        M = low_res.shape[1]
-        flat = low_res.reshape(points_per_batch * M, *low_res.shape[2:])
-        stability = calculate_stability_score(flat, cfg.mask_threshold,
-                                              stability_offset)
-        boxes = batched_mask_to_box(flat > cfg.mask_threshold)
-        return (flat.astype(jnp.bfloat16), iou.reshape(-1), stability, boxes)
+        # BLOCK-COLUMN decode (no spatial transpose; fused Pallas
+        # upscale+hypernet on TPU) — identical values to decode_masks
+        cols, iou = S.decode_masks_cols(params, cfg, emb,
+                                        points=(pts[:, None, :], labels),
+                                        multimask_output=True)
+        M = iou.shape[1]
+        stability = stability_score_cols(cols, M, cfg.mask_threshold,
+                                         stability_offset).reshape(-1)
+        boxes = mask_to_box_cols(cols > cfg.mask_threshold, M, H, W)
+        return (cols.astype(jnp.bfloat16), iou.reshape(-1), stability,
+                boxes.reshape(-1, 4))
 
-    logits, iou, stability, boxes = jax.lax.map(do_chunk, chunks)
-    lr = logits.shape[-1]
-    logits = logits.reshape(-1, logits.shape[-2], lr)
+    cols, iou, stability, boxes = jax.lax.map(do_chunk, chunks)
+    M = cols.shape[-1] // 16
+    cols = cols.reshape(-1, H * W, M * 16)  # candidate prompt-major
     iou = iou.reshape(-1)
     stability = stability.reshape(-1)
     boxes = boxes.reshape(-1, 4)
 
-    keep = jnp.arange(iou.shape[0]) < n_real * 3  # mask chunk padding
+    keep = jnp.arange(iou.shape[0]) < n_real * M  # mask chunk padding
     if pred_iou_thresh > 0.0:
         keep &= iou > pred_iou_thresh
     if stability_thresh > 0.0:
@@ -445,7 +493,13 @@ def _amg_device_sweep(params, cfg: SamConfig, image, points,
         top = jax.lax.top_k(scores, max_out)
         idx, valid = top[1], top[0] > -jnp.inf
 
-    sel = jnp.take(logits, idx, axis=0)
+    # candidate idx = prompt * M + m: gather prompt rows, then the m-th
+    # 16-column sub-pixel group via a one-hot contraction (lane-native)
+    sel_p = jnp.take(cols, idx // M, axis=0)        # [max_out, N, M*16]
+    onehot = jax.nn.one_hot(idx % M, M, dtype=sel_p.dtype)
+    sel16 = jnp.einsum("knmf,km->knf",
+                       sel_p.reshape(max_out, H * W, M, 16), onehot)
+    sel = _cols_to_spatial_masks(sel16, H, W)
     masks = _upscale_threshold(cfg, sel, out_hw[0], out_hw[1], input_hw)
     masks = masks & valid[:, None, None]
     return {

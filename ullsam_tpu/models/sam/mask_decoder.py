@@ -14,7 +14,7 @@ Layouts: image inputs/outputs NHWC; mask logits return [B, M, 4H, 4W].
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -95,49 +95,23 @@ def predict_masks(params: dict, cfg: MaskDecoderConfig,
     return masks, iou_pred
 
 
-def _upscale_hypernet_block(up: dict, hyper_in: Array, keys: Array,
-                            H: int, W: int) -> Array:
-    """4x upscale (two k=s=2 transposed convs + LN + GELU,
-    mask_decoder.py:53-69) and hypernetwork dot products in BLOCK layout.
+def _upscale_weight_views(up: dict):
+    """Matmul views of the transposed-conv / LN weights.
 
     With kernel == stride, a transposed conv is a per-pixel matmul: output
-    pixel (2i+di, 2j+dj) depends only on input pixel (i, j). The naive
-    spatial interleave (einsum + 6-D transpose per conv) materialized
-    ~2.6 GB of f32 layout copies per 256-prompt AMG decode chunk — ~20 ms
-    of a 62 ms chunk. Here the 2x2 sub-pixel indices ride along as
-    channel-like dims through both convs, the LN/GELUs, and the hypernet
-    contraction; ONE transpose of the final [B, nm, 4H*4W] bf16 masks
-    (~134 MB) restores spatial order.
-
-    keys: [B, H*W, C] transformer image output. Returns [B, nm, 4H, 4W].
+    pixel (2i+di, 2j+dj) depends only on input pixel (i, j), so the 2x2
+    sub-pixel indices can ride along as channel-like dims (block-column
+    layout). Returns (w1c [C, 4*C4], b1t, ln_scale_t, ln_bias_t [1, 4*C4],
+    w2bd [4*C4, 16*C8] block-diagonal, b2t [1, 16*C8]), biases/LN in f32.
     """
-    B, N, C = keys.shape
-    nm = hyper_in.shape[1]
-    dtype = keys.dtype
-
     W1 = up["convt1"]["kernel"]                      # [2, 2, C, C/4] HWIO
-    C4 = W1.shape[-1]
-    w1 = jnp.transpose(W1, (2, 0, 1, 3)).reshape(C, 4 * C4).astype(dtype)
-    u1 = jnp.dot(keys, w1, preferred_element_type=jnp.float32)
-    if "bias" in up["convt1"]:
-        u1 = u1 + jnp.tile(up["convt1"]["bias"].astype(jnp.float32), 4)
-
-    # grouped LayerNorm over each of the four C4-wide sub-pixel groups,
-    # WITHOUT reshaping the 4*C4 lane dim: group statistics via tiny 0/1
-    # matmuls (lane-dim splits forced ~3 GB of f32 relayout/broadcast
-    # traffic per 256-prompt chunk)
-    group = jnp.asarray(np.kron(np.eye(4), np.ones((C4, 1))) / C4,
-                        jnp.float32)                 # [4*C4, 4] mean-pool
-    expand = jnp.asarray(np.kron(np.eye(4), np.ones((1, C4))),
-                         jnp.float32)                # [4, 4*C4] broadcast
-    m1 = jnp.dot(u1, group)                          # [B, N, 4]
-    m2 = jnp.dot(jnp.square(u1), group)
-    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
-    inv = jax.lax.rsqrt(var + 1e-6)
-    scale = jnp.tile(up["ln"]["scale"].astype(jnp.float32), 4)
-    bias = jnp.tile(up["ln"]["bias"].astype(jnp.float32), 4)
-    u1 = ((u1 - jnp.dot(m1, expand)) * jnp.dot(inv, expand)) * scale + bias
-    u1 = L.gelu(u1).astype(dtype)                    # [B, N, 4*C4]
+    C, C4 = W1.shape[-2], W1.shape[-1]
+    w1c = jnp.transpose(W1, (2, 0, 1, 3)).reshape(C, 4 * C4)
+    b1 = (up["convt1"]["bias"].astype(jnp.float32) if "bias" in up["convt1"]
+          else jnp.zeros((C4,), jnp.float32))
+    b1t = jnp.tile(b1, 4)[None]                      # [1, 4*C4]
+    lns = jnp.tile(up["ln"]["scale"].astype(jnp.float32), 4)[None]
+    lnb = jnp.tile(up["ln"]["bias"].astype(jnp.float32), 4)[None]
 
     # convT2 as ONE lane-native matmul: block-diagonal [4*C4, 4*(4*C8)]
     # (each (di,dj) group maps to its own (ei,ej,c8) span; the 4x zero
@@ -148,24 +122,129 @@ def _upscale_hypernet_block(up: dict, hyper_in: Array, keys: Array,
     w2bd = jnp.zeros((4 * C4, 16 * C8), w2.dtype)
     for d in range(4):
         w2bd = jax.lax.dynamic_update_slice(w2bd, w2, (d * C4, d * 4 * C8))
+    b2 = (up["convt2"]["bias"].astype(jnp.float32) if "bias" in up["convt2"]
+          else jnp.zeros((C8,), jnp.float32))
+    b2t = jnp.tile(b2, 16)[None]                     # [1, 16*C8]
+    return w1c, b1t, lns, lnb, w2bd, b2t
+
+
+def _upscale_hypernet_cols(up: dict, hyper_in: Array, keys: Array,
+                           use_pallas: bool = False) -> Array:
+    """4x upscale (two k=s=2 transposed convs + LN + GELU,
+    mask_decoder.py:53-69) and hypernetwork dot products in BLOCK-COLUMN
+    layout: returns [B, N, nm*16] with cols o = (m, di, dj, ei, ej), where
+    output pixel (4i+2di+ei, 4j+2dj+ej) of mask m is row i*W+j, col o.
+
+    The naive spatial interleave (einsum + 6-D transpose per conv)
+    materialized ~2.6 GB of f32 layout copies per 256-prompt AMG decode
+    chunk; this layout keeps every op lane-native. On TPU with production
+    shapes the whole chain runs as one Pallas kernel
+    (ops/pallas/decoder.fused_upscale_hypernet): the per-prompt hypernet
+    contraction and ~1 GB of f32 LN/GELU HBM traffic collapse into VMEM.
+    """
+    B, N, C = keys.shape
+    nm = hyper_in.shape[1]
+    dtype = keys.dtype
+    w1c, b1t, lns, lnb, w2bd, b2t = _upscale_weight_views(up)
+
+    if use_pallas:
+        from ullsam_tpu.ops.pallas import decoder as PD
+        if PD.supported(keys.shape, C):
+            return PD.fused_upscale_hypernet(keys, hyper_in, w1c, b1t,
+                                             lns, lnb, w2bd, b2t)
+
+    u1 = jnp.dot(keys, w1c.astype(dtype),
+                 preferred_element_type=jnp.float32) + b1t
+    # grouped LayerNorm over each of the four C4-wide sub-pixel groups,
+    # WITHOUT reshaping the 4*C4 lane dim: group statistics via tiny 0/1
+    # matmuls (lane-dim splits forced ~3 GB of f32 relayout/broadcast
+    # traffic per 256-prompt chunk)
+    C4 = w1c.shape[1] // 4
+    group = jnp.asarray(np.kron(np.eye(4), np.ones((C4, 1))) / C4,
+                        jnp.float32)                 # [4*C4, 4] mean-pool
+    expand = jnp.asarray(np.kron(np.eye(4), np.ones((1, C4))),
+                         jnp.float32)                # [4, 4*C4] broadcast
+    m1 = jnp.dot(u1, group)                          # [B, N, 4]
+    m2 = jnp.dot(jnp.square(u1), group)
+    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    u1 = ((u1 - jnp.dot(m1, expand)) * jnp.dot(inv, expand)) * lns + lnb
+    u1 = L.gelu(u1).astype(dtype)                    # [B, N, 4*C4]
+
     u2 = jnp.dot(u1, w2bd.astype(dtype),
-                 preferred_element_type=jnp.float32)  # [B, N, 16*C8]
-    if "bias" in up["convt2"]:
-        u2 = u2 + jnp.tile(up["convt2"]["bias"].astype(jnp.float32), 16)
+                 preferred_element_type=jnp.float32) + b2t
     u2 = L.gelu(u2.astype(dtype))                    # cols: (di,dj,ei,ej,c8)
 
     # hypernet dot as a per-prompt block-diagonal matmul over the SAME
     # lane layout: Hbd[(e, c8), (m, e')] = hyper[m, c8] iff e == e'
+    C8 = u2.shape[-1] // 16
     eye16 = jnp.eye(16, dtype=dtype)                 # e == e'
     # [B, 16*C8, nm*16]: kron(eye16, hyper^T) per batch, cols (m, e)
     hbd = jnp.einsum("ef,bmc->becmf", eye16,
                      hyper_in.astype(dtype)).reshape(B, 16 * C8, nm * 16)
-    masks = jnp.einsum("bnk,bko->bno", u2, hbd,
-                       preferred_element_type=jnp.float32).astype(dtype)
+    return jnp.einsum("bnk,bko->bno", u2, hbd,
+                      preferred_element_type=jnp.float32).astype(dtype)
+
+
+def cols_to_spatial(masks_cols: Array, nm: int, H: int, W: int) -> Array:
+    """Block-column masks [B, N, nm*16] -> spatial [B, nm, 4H, 4W]."""
+    B = masks_cols.shape[0]
     # cols o = (m, di, dj, ei, ej); 4H = 4i+2di+ei, 4W = 4j+2dj+ej
-    masks = masks.reshape(B, H, W, nm, 2, 2, 2, 2)
+    masks = masks_cols.reshape(B, H, W, nm, 2, 2, 2, 2)
     masks = jnp.transpose(masks, (0, 3, 1, 4, 6, 2, 5, 7))
     return masks.reshape(B, nm, 4 * H, 4 * W)
+
+
+def _upscale_hypernet_block(up: dict, hyper_in: Array, keys: Array,
+                            H: int, W: int) -> Array:
+    """Spatial-layout wrapper: ONE transpose of the final [B, nm, 4H*4W]
+    bf16 masks restores spatial order. keys: [B, H*W, C]."""
+    cols = _upscale_hypernet_cols(up, hyper_in, keys)
+    return cols_to_spatial(cols, hyper_in.shape[1], H, W)
+
+
+def predict_masks_cols(params: dict, cfg: MaskDecoderConfig,
+                       image_embeddings: Array, image_pe: Array,
+                       sparse_prompt: Array, dense_prompt: Array,
+                       multimask_output: Optional[bool] = None,
+                       ) -> Tuple[Array, Array]:
+    """Decode to BLOCK-COLUMN mask layout (the AMG sweep fast path).
+
+    Same math as predict_masks but the final masks stay as
+    [B, N, M*16] (cols = (m, di, dj, ei, ej); see _upscale_hypernet_cols)
+    — no [B, nm, 4H, 4W] spatial transpose. On TPU the upscale+hypernet
+    chain runs as one fused Pallas kernel. `multimask_output` selects the
+    mask tokens BEFORE the upscale (True -> m=1..nm-1, False -> m=0,
+    None -> all nm), so unused hypernet columns are never computed.
+    Returns (masks_cols, iou_pred [B, M]).
+    """
+    B = sparse_prompt.shape[0]
+    d = cfg.transformer_dim
+    nm = cfg.num_mask_tokens
+
+    output_tokens = jnp.concatenate(
+        [params["iou_token"], params["mask_tokens"]], axis=0)
+    output_tokens = jnp.broadcast_to(output_tokens[None], (B, 1 + nm, d))
+    tokens = jnp.concatenate(
+        [output_tokens.astype(sparse_prompt.dtype), sparse_prompt], axis=1)
+    src = image_embeddings + dense_prompt.astype(image_embeddings.dtype)
+
+    hs, keys = two_way_transformer_apply(params["transformer"], cfg, src,
+                                         image_pe, tokens)
+    iou_token_out = hs[:, 0, :]
+    mask_tokens_out = hs[:, 1:1 + nm, :]
+    m_idx = (range(1, nm) if multimask_output is True
+             else range(0, 1) if multimask_output is False
+             else range(nm))
+    hyper_in = jnp.stack(
+        [L.mlp_stack(params["hyper_mlps"][i], mask_tokens_out[:, i, :])
+         for i in m_idx], axis=1)  # [B, M, d/8]
+
+    masks_cols = _upscale_hypernet_cols(params["upscale"], hyper_in, keys,
+                                        use_pallas=True)
+    iou_pred = L.mlp_stack(params["iou_head"], iou_token_out)
+    iou_pred = iou_pred[:, list(m_idx)]
+    return masks_cols, iou_pred
 
 
 def mask_decoder_apply(params: dict, cfg: MaskDecoderConfig,

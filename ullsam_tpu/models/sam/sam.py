@@ -81,6 +81,31 @@ def decode_masks(
         multimask_output=multimask_output)
 
 
+def decode_masks_cols(
+    params: dict,
+    cfg: SamConfig,
+    image_embedding: Array,
+    points: Tuple[Array, Array],
+    multimask_output: bool = True,
+) -> Tuple[Array, Array]:
+    """Point-prompt decode to BLOCK-COLUMN mask layout (AMG fast path).
+
+    Returns (masks_cols [B, H*W, M*16], iou_pred [B, M]) where the low-res
+    [B, M, 4H, 4W] logits of decode_masks are laid out as rows = (i, j)
+    embedding cells and cols = (m, di, dj, ei, ej) 4x4 sub-pixels
+    (mask_decoder._upscale_hypernet_cols). Identical values, no spatial
+    transpose; on TPU the upscale+hypernet chain is one Pallas kernel.
+    """
+    sparse, dense = PE.prompt_encoder_apply(
+        params["prompt_encoder"], cfg.prompt_encoder, points=points)
+    dense = dense[:1]  # shared no-mask dense prompt (see decode_masks)
+    image_pe = PE.get_dense_pe(params["prompt_encoder"], cfg.prompt_encoder)
+    return MD.predict_masks_cols(
+        params["mask_decoder"], cfg.mask_decoder,
+        image_embedding, image_pe, sparse, dense,
+        multimask_output=multimask_output)
+
+
 def postprocess_masks(masks: Array, input_size: Tuple[int, int],
                       original_size: Tuple[int, int], cfg: SamConfig) -> Array:
     """Upscale low-res logits to original image size (sam.py:133-162).
