@@ -151,3 +151,32 @@ def test_decode_masks_cols_matches_decode_masks():
         b1 = A.batched_mask_to_box(low.reshape(-1, 32, 32) > 0.0)
         b2 = A.mask_to_box_cols(cols > 0.0, M, 8, 8).reshape(-1, 4)
         np.testing.assert_allclose(np.asarray(b1), np.asarray(b2))
+
+
+def test_fused_two_way_transformer_matches_xla():
+    """Per-prompt fused TwoWayTransformer kernel (interpret mode) vs the
+    XLA reference at production head/dim layout (C=256, Cd=128, 8 heads)."""
+    from ullsam_tpu.core.config import MaskDecoderConfig
+    from ullsam_tpu.models.sam.two_way_transformer import (
+        two_way_transformer_init, two_way_transformer_apply)
+    from ullsam_tpu.ops.pallas import decoder as PD
+
+    cfg = MaskDecoderConfig()
+    tw = two_way_transformer_init(jax.random.PRNGKey(0), cfg)
+    B, T, C = 2, 7, cfg.transformer_dim
+    Hh = Ww = 16
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, Hh, Ww, C)) * 0.5
+    pe = jax.random.normal(jax.random.PRNGKey(2), (1, Hh, Ww, C)) * 0.5
+    toks = jax.random.normal(jax.random.PRNGKey(3), (B, T, C)) * 0.5
+
+    hs_ref, keys_ref = two_way_transformer_apply(tw, cfg, emb, pe, toks)
+    q, k = PD.fused_two_way_transformer(
+        tw, emb.reshape(1, -1, C), pe.reshape(1, -1, C), toks,
+        heads=cfg.transformer_num_heads, mlp_dim=cfg.transformer_mlp_dim,
+        eps=cfg.ln_eps, interpret=True)
+    np.testing.assert_allclose(np.asarray(q, np.float32),
+                               np.asarray(hs_ref, np.float32),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(k, np.float32),
+                               np.asarray(keys_ref, np.float32),
+                               atol=2e-5, rtol=2e-5)

@@ -229,8 +229,22 @@ def predict_masks_cols(params: dict, cfg: MaskDecoderConfig,
         [output_tokens.astype(sparse_prompt.dtype), sparse_prompt], axis=1)
     src = image_embeddings + dense_prompt.astype(image_embeddings.dtype)
 
-    hs, keys = two_way_transformer_apply(params["transformer"], cfg, src,
-                                         image_pe, tokens)
+    from ullsam_tpu.ops.pallas import decoder as PD
+    _, H, W, _ = src.shape
+    if (src.shape[0] == 1
+            and PD.twt_supported(d, d // cfg.attention_downsample_rate,
+                                 cfg.transformer_num_heads,
+                                 cfg.transformer_depth, tokens.shape[1],
+                                 H * W)):
+        # shared image embedding: per-prompt fused Pallas transformer
+        hs, keys = PD.fused_two_way_transformer(
+            params["transformer"], src.reshape(1, H * W, d),
+            image_pe.reshape(1, H * W, d), tokens,
+            heads=cfg.transformer_num_heads,
+            mlp_dim=cfg.transformer_mlp_dim, eps=cfg.ln_eps)
+    else:
+        hs, keys = two_way_transformer_apply(params["transformer"], cfg,
+                                             src, image_pe, tokens)
     iou_token_out = hs[:, 0, :]
     mask_tokens_out = hs[:, 1:1 + nm, :]
     m_idx = (range(1, nm) if multimask_output is True

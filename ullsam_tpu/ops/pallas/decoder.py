@@ -130,3 +130,330 @@ def fused_upscale_hypernet(keys: Array, hyper_in: Array, w1c: Array,
         interpret=interpret,
     )(keys, hbd, w1c.astype(dtype), b1t, ln_scale_t, ln_bias_t,
       w2bd.astype(dtype), b2t)
+
+
+# ---------------------------------------------------------------------------
+# Fused two-way transformer (per-prompt megakernel)
+# ---------------------------------------------------------------------------
+#
+# The AMG decode runs 256 prompts against ONE shared [4096, 256] image
+# embedding. The XLA two-way transformer (transformer.py:16-184 semantics)
+# materializes per-prompt image keys and head-split [.., heads, 16] tensors
+# in HBM (~18 ms/chunk). Here one grid program computes the ENTIRE depth-2
+# transformer for one prompt with the image keys resident in VMEM.
+#
+# Head handling without lane reshapes: tokens are padded to TP=16 rows and
+# expanded to (head, token) row-blocks of 128 via a 0/1 selection matmul;
+# per-head restriction is a column mask (col // head_dim == row // TP).
+# The image->token softmax groups 16 lanes per head: a GLOBAL row max is a
+# valid per-group shift (uniform within each group), and group sums come
+# from one [128, heads] 0/1 matmul.
+
+NEG_INF = -1e30
+_TP = 16  # padded token count; heads * _TP must equal 128
+
+
+def pack_twt_weights(tw: dict, mlp_dim: int, dtype=jnp.bfloat16):
+    """Pack the two_way_transformer param pytree into 5 kernel arrays.
+
+    Returns (w256 [C, X], w128 [Cd, Y], wfc2 [mlp_dim, nb*C],
+    bias [R, C] f32, bmlp [nb, mlp_dim] f32). Column/row offsets are the
+    static layout the kernel assumes (see _twt_kernel)."""
+    layers = tw["layers"]
+    fin = tw["final_attn_t2i"]
+    C = layers[0]["self_attn"]["q"]["kernel"].shape[0]
+    Cd = layers[0]["cross_attn_t2i"]["q"]["kernel"].shape[1]
+
+    def k_(p):
+        return p["kernel"].astype(dtype)
+
+    def b_(p, width):
+        b = p.get("bias")
+        b = (jnp.zeros((width,), jnp.float32) if b is None
+             else b.astype(jnp.float32))
+        out = jnp.zeros((C,), jnp.float32)
+        return out.at[:width].set(b)
+
+    w256_cols, w128_cols, wfc2_cols, bias_rows, bmlp_rows = [], [], [], [], []
+    for lyr in layers:
+        sa, t2i, i2t = (lyr["self_attn"], lyr["cross_attn_t2i"],
+                        lyr["cross_attn_i2t"])
+        w256_cols += [k_(sa["q"]), k_(sa["k"]), k_(sa["v"]), k_(sa["out"]),
+                      k_(t2i["q"]), k_(t2i["k"]), k_(t2i["v"]),
+                      k_(i2t["q"]), k_(i2t["k"]), k_(i2t["v"]),
+                      k_(lyr["mlp"]["fc1"])]
+        w128_cols += [k_(t2i["out"]), k_(i2t["out"])]
+        wfc2_cols += [k_(lyr["mlp"]["fc2"])]
+        bias_rows += [b_(sa["q"], C), b_(sa["k"], C), b_(sa["v"], C),
+                      b_(sa["out"], C),
+                      b_(t2i["q"], Cd), b_(t2i["k"], Cd), b_(t2i["v"], Cd),
+                      b_(t2i["out"], C),
+                      b_(i2t["q"], Cd), b_(i2t["k"], Cd), b_(i2t["v"], Cd),
+                      b_(i2t["out"], C),
+                      b_(lyr["mlp"]["fc2"], C)]
+        for nrm in ("norm1", "norm2", "norm3", "norm4"):
+            bias_rows += [lyr[nrm]["scale"].astype(jnp.float32),
+                          lyr[nrm]["bias"].astype(jnp.float32)]
+        bmlp_rows += [lyr["mlp"]["fc1"].get(
+            "bias", jnp.zeros((mlp_dim,))).astype(jnp.float32)]
+    w256_cols += [k_(fin["q"]), k_(fin["k"]), k_(fin["v"])]
+    w128_cols += [k_(fin["out"])]
+    bias_rows += [b_(fin["q"], Cd), b_(fin["k"], Cd), b_(fin["v"], Cd),
+                  b_(fin["out"], C),
+                  tw["norm_final"]["scale"].astype(jnp.float32),
+                  tw["norm_final"]["bias"].astype(jnp.float32)]
+    return (jnp.concatenate(w256_cols, axis=1),
+            jnp.concatenate(w128_cols, axis=1),
+            jnp.concatenate(wfc2_cols, axis=1),
+            jnp.stack(bias_rows),
+            jnp.stack(bmlp_rows))
+
+
+def _twt_kernel(src_ref, pe_ref, tok_ref, k1_ref, v1_ref, qi1_ref,
+                w256_ref, w128_ref, wfc2_ref, bias_ref, bmlp_ref,
+                q_out_ref, keys_ref, *, T: int, C: int, Cd: int,
+                heads: int, mlp_dim: int, eps: float):
+    f32 = jnp.float32
+    bf = src_ref.dtype
+    hd_self = C // heads
+    hd_cross = Cd // heads
+    TP = _TP
+    HT = heads * TP  # 128
+
+    w_blk = 4 * C + 6 * Cd + mlp_dim
+    b_blk = 21
+
+    def nt(a, b):  # a [M, K], b [N, K] -> [M, N] f32
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def nn(a, b):  # a [M, K], b [K, N] -> [M, N] f32
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def brow(r, width):
+        return bias_ref[r:r + 1, :width]
+
+    # (head, token) expansion: S[r, t] = (t == r % TP); collapse = S^T
+    S = (jax.lax.broadcasted_iota(jnp.int32, (HT, TP), 0) % TP
+         == jax.lax.broadcasted_iota(jnp.int32, (HT, TP), 1)).astype(bf)
+    Tcol = (jax.lax.broadcasted_iota(jnp.int32, (TP, HT), 1) % TP
+            == jax.lax.broadcasted_iota(jnp.int32, (TP, HT), 0)).astype(bf)
+
+    def headmask(x, hd):  # zero cols outside the row's head slice
+        row_h = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) // TP
+        col_h = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) // hd
+        return jnp.where(row_h == col_h, x, 0.0)
+
+    def ln(x32, r, width):  # LayerNorm rows -> bf16 (layers.layer_norm)
+        m1 = jnp.mean(x32, axis=-1, keepdims=True)
+        m2 = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        var = jnp.maximum(m2 - m1 * m1, 0.0)
+        y = (x32 - m1) * jax.lax.rsqrt(var + eps)
+        return (y * brow(r, width) + brow(r + 1, width)).astype(bf)
+
+    def softmax_rows(logits):  # last-axis softmax, f32
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        return e / jnp.sum(e, axis=-1, keepdims=True)
+
+    tok0 = tok_ref[0]  # [TP, C] bf16 — initial tokens AND query PE
+
+    def self_attn(blk, q_in, k_in, v_in):  # [TP, C] bf16 each -> f32
+        ow = blk * w_blk
+        ob = blk * b_blk
+        q = nn(q_in, w256_ref[:, ow:ow + C]) + brow(ob, C)
+        k = nn(k_in, w256_ref[:, ow + C:ow + 2 * C]) + brow(ob + 1, C)
+        v = nn(v_in, w256_ref[:, ow + 2 * C:ow + 3 * C]) + brow(ob + 2, C)
+        Qm = headmask(nn(S, q.astype(bf)), hd_self)        # [HT, C]
+        logits = nt(Qm.astype(bf), k.astype(bf)) * (hd_self ** -0.5)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (HT, TP), 1)
+        logits = jnp.where(kcol < T, logits, NEG_INF)
+        p = softmax_rows(logits)
+        om = headmask(nn(p.astype(bf), v.astype(bf)), hd_self)
+        out = nn(Tcol, om.astype(bf))                      # [TP, C]
+        return (nn(out.astype(bf), w256_ref[:, ow + 3 * C:ow + 4 * C])
+                + brow(ob + 3, C))
+
+    def t2i(blk, q_tok, keys_img, k_pre=None, v_pre=None, final=False):
+        """token->image cross-attn. q_tok [TP, C] bf; keys_img [N, C] bf.
+        k_pre/v_pre: pre-projected shared [N, Cd] (block-1 fast path)."""
+        if final:
+            ow, ob = 2 * w_blk, 2 * b_blk
+            wout_o, bout_r = 4 * C, 2 * b_blk + 3
+        else:
+            ow, ob = blk * w_blk + 4 * C, blk * b_blk + 4
+            wout_o, bout_r = blk * 2 * C, blk * b_blk + 7
+        q = nn(q_tok, w256_ref[:, ow:ow + Cd]) + brow(ob, Cd)   # [TP, Cd]
+        if k_pre is None:
+            kin = (keys_img.astype(f32) + pe_ref[:].astype(f32)).astype(bf)
+            k = (nn(kin, w256_ref[:, ow + Cd:ow + 2 * Cd])
+                 + brow(ob + 1, Cd)).astype(bf)                 # [N, Cd]
+            v = (nn(keys_img, w256_ref[:, ow + 2 * Cd:ow + 3 * Cd])
+                 + brow(ob + 2, Cd)).astype(bf)
+        else:
+            k, v = k_pre, v_pre
+        Qm = headmask(nn(S, q.astype(bf)), hd_cross)            # [HT, Cd]
+        logits = nt(Qm.astype(bf), k) * (hd_cross ** -0.5)      # [HT, N]
+        p = softmax_rows(logits)
+        om = headmask(nn(p.astype(bf), v), hd_cross)       # [HT, Cd]
+        out = nn(Tcol, om.astype(bf))                           # [TP, Cd]
+        return (nn(out.astype(bf), w128_ref[:, wout_o:wout_o + C])
+                + brow(bout_r, C))                              # [TP, C] f32
+
+    def i2t(blk, keys_img, q_tok, v_tok, qi_pre=None):
+        """image->token cross-attn: queries = image rows, keys/values =
+        tokens. Returns the [N, C] f32 keys update (pre-residual)."""
+        ow = blk * w_blk + 4 * C + 3 * Cd
+        ob = blk * b_blk + 8
+        wout_o = blk * 2 * C + C
+        if qi_pre is None:
+            qin = (keys_img.astype(f32) + pe_ref[:].astype(f32)).astype(bf)
+            qi = (nn(qin, w256_ref[:, ow:ow + Cd])
+                  + brow(ob, Cd)).astype(bf)                    # [N, Cd]
+        else:
+            qi = qi_pre
+        kt = nn(q_tok, w256_ref[:, ow + Cd:ow + 2 * Cd]) + brow(ob + 1, Cd)
+        vt = nn(v_tok, w256_ref[:, ow + 2 * Cd:ow + 3 * Cd]) + brow(ob + 2, Cd)
+        Km = headmask(nn(S, kt.astype(bf)), hd_cross)           # [HT, Cd]
+        logits = nt(qi, Km.astype(bf)) * (hd_cross ** -0.5)     # [N, HT]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, HT), 1)
+        valid = (lane % TP) < T
+        logits = jnp.where(valid, logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)  # uniform per head grp
+        e = jnp.where(valid, jnp.exp(logits - m), 0.0)
+        G = (jax.lax.broadcasted_iota(jnp.int32, (HT, heads), 0) // TP
+             == jax.lax.broadcasted_iota(jnp.int32, (HT, heads), 1)
+             ).astype(f32)
+        s = nn(e, G)                                            # [N, heads]
+        sx = nn(s, jnp.transpose(G))                            # [N, HT]
+        p = e / sx
+        Vm = headmask(nn(S, vt.astype(bf)), hd_cross)           # [HT, Cd]
+        o = nn(p.astype(bf), Vm.astype(bf))                     # [N, Cd]
+        return (nn(o.astype(bf), w128_ref[:, wout_o:wout_o + C])
+                + brow(blk * b_blk + 11, C))                    # [N, C] f32
+
+    def mlp(blk, x):  # ReLU MLP on tokens (transformer.py:23)
+        ow = blk * w_blk + 4 * C + 6 * Cd
+        h = nn(x, w256_ref[:, ow:ow + mlp_dim]) + bmlp_ref[blk:blk + 1, :]
+        h = jnp.maximum(h, 0.0).astype(bf)
+        return (nn(h, wfc2_ref[:, blk * C:(blk + 1) * C])
+                + brow(blk * b_blk + 12, C))
+
+    def ln_tok(x32, blk, which):  # norm1..3 rows at blk*b_blk + 13 + 2*w
+        return ln(x32, blk * b_blk + 13 + 2 * which, C)
+
+    # ---- block 1 (skip_first_layer_pe: no PE, no residual on self-attn)
+    q = ln_tok(self_attn(0, tok0, tok0, tok0), 0, 0)
+    qpe = (q.astype(f32) + tok0.astype(f32)).astype(bf)
+    q = ln_tok(q.astype(f32) + t2i(0, qpe, None, k_pre=k1_ref[:],
+                                   v_pre=v1_ref[:]), 0, 1)
+    q = ln_tok(q.astype(f32) + mlp(0, q), 0, 2)
+    qpe = (q.astype(f32) + tok0.astype(f32)).astype(bf)
+    upd = i2t(0, None, qpe, q, qi_pre=qi1_ref[:])
+    keys = ln(src_ref[:].astype(f32) + upd, 0 * b_blk + 19, C)  # norm4
+    keys_ref[0] = keys
+
+    # ---- block 2
+    qpe = (q.astype(f32) + tok0.astype(f32)).astype(bf)
+    q = ln_tok(q.astype(f32) + self_attn(1, qpe, qpe, q), 1, 0)
+    qpe = (q.astype(f32) + tok0.astype(f32)).astype(bf)
+    q = ln_tok(q.astype(f32) + t2i(1, qpe, keys), 1, 1)
+    q = ln_tok(q.astype(f32) + mlp(1, q), 1, 2)
+    qpe = (q.astype(f32) + tok0.astype(f32)).astype(bf)
+    upd = i2t(1, keys, qpe, q)
+    keys = ln(keys.astype(f32) + upd, 1 * b_blk + 19, C)
+    keys_ref[0] = keys
+
+    # ---- final token->image attention + norm_final
+    qpe = (q.astype(f32) + tok0.astype(f32)).astype(bf)
+    q = ln(q.astype(f32) + t2i(0, qpe, keys, final=True),
+           2 * b_blk + 4, C)
+    q_out_ref[0] = q
+
+
+def twt_supported(C: int, Cd: int, heads: int, depth: int, T: int,
+                  N: int) -> bool:
+    """Fused two-way transformer engages for SAM production shapes on a
+    real TPU backend (heads*16 must equal the 128-lane width)."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return (heads * _TP == 128 and depth == 2 and T <= _TP
+            and C % 128 == 0 and Cd % 128 == 0 and Cd // heads >= 8
+            and N % 8 == 0 and C // heads >= 8)
+
+
+def fused_two_way_transformer(tw: dict, image_embedding: Array,
+                              image_pe: Array, tokens: Array, *,
+                              heads: int, mlp_dim: int, eps: float,
+                              interpret: bool = False):
+    """Per-prompt fused depth-2 TwoWayTransformer (transformer.py:16-184).
+
+    image_embedding: [1, N, C] SHARED flattened image keys (embedding +
+    dense prompt); image_pe: [1 or none, N, C]; tokens: [B, T, C]
+    (iou/mask/prompt tokens per prompt). Returns (queries [B, T, C],
+    keys [B, N, C]) matching two_way_transformer_apply to bf16 tolerance.
+
+    Block-1's image-side projections (t2i keys/values, i2t image queries)
+    depend only on the shared embedding — they are computed ONCE in XLA
+    and passed in, so the kernel never redoes shared work per prompt.
+    """
+    layers = tw["layers"]
+    B, T, C = tokens.shape
+    src = image_embedding.reshape(-1, image_embedding.shape[-2],
+                                  C)[0]                     # [N, C]
+    pe = image_pe.reshape(-1, src.shape[0], C)[0].astype(src.dtype)
+    N = src.shape[0]
+    Cd = layers[0]["cross_attn_t2i"]["q"]["kernel"].shape[1]
+    dtype = src.dtype
+
+    w256, w128, wfc2, bias, bmlp = pack_twt_weights(tw, mlp_dim, dtype)
+
+    def lin(p, x):  # [N, C] @ [C, Cd] + b, bf16 out
+        y = jnp.dot(x, p["kernel"].astype(dtype),
+                    preferred_element_type=jnp.float32)
+        if "bias" in p:
+            y = y + p["bias"].astype(jnp.float32)
+        return y.astype(dtype)
+
+    src_pe = (src.astype(jnp.float32) + pe.astype(jnp.float32)).astype(dtype)
+    k1 = lin(layers[0]["cross_attn_t2i"]["k"], src_pe)      # [N, Cd]
+    v1 = lin(layers[0]["cross_attn_t2i"]["v"], src)
+    qi1 = lin(layers[0]["cross_attn_i2t"]["q"], src_pe)
+
+    toks = jnp.pad(tokens.astype(dtype), ((0, 0), (0, _TP - T), (0, 0)))
+
+    kernel = functools.partial(_twt_kernel, T=T, C=C, Cd=Cd, heads=heads,
+                               mlp_dim=mlp_dim, eps=eps)
+    q_out, keys_out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((N, C), lambda b: (0, 0)),
+            pl.BlockSpec((N, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, _TP, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((N, Cd), lambda b: (0, 0)),
+            pl.BlockSpec((N, Cd), lambda b: (0, 0)),
+            pl.BlockSpec((N, Cd), lambda b: (0, 0)),
+            pl.BlockSpec(w256.shape, lambda b: (0, 0)),
+            pl.BlockSpec(w128.shape, lambda b: (0, 0)),
+            pl.BlockSpec(wfc2.shape, lambda b: (0, 0)),
+            pl.BlockSpec(bias.shape, lambda b: (0, 0)),
+            pl.BlockSpec(bmlp.shape, lambda b: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _TP, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, _TP, C), dtype),
+            jax.ShapeDtypeStruct((B, N, C), dtype),
+        ),
+        # resident shared embedding + weight packs + per-prompt transients
+        # peak ~19 MB — above Mosaic's 16 MB default scoped-vmem limit,
+        # well under the v5e's physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=28 * 1024 * 1024),
+        interpret=interpret,
+    )(src, pe, toks, k1, v1, qi1, w256, w128, wfc2, bias, bmlp)
+    return q_out[:, :T], keys_out
