@@ -165,12 +165,16 @@ def _vit_flash_fwd(q, k, v, rel_h, rel_w, block_q, block_k):
     return out, (q, k, v, rel_h, rel_w, out, lse)
 
 
-# The fused pallas backward (below) beats the XLA backward STANDALONE
-# (14.5 vs 26.9 ms fwd+bwd at ViT-B global size), but inside the full
-# rematerialized train graph it currently degrades the step 283ms -> 5s+
-# (scheduling interaction under jax.checkpoint — round-2 investigation).
-# Default to the exact XLA-math backward; flip USE_FUSED_BWD to opt in.
-USE_FUSED_BWD = False
+# The fused pallas backward (below) is the default: 14.5 vs 26.9 ms
+# standalone fwd+bwd at ViT-B global size, and the full rematerialized
+# flagship train step runs 179 ms fused vs 232 ms with the XLA-math
+# backward (benchmarks/bench_train_step.py). An earlier-round scheduling
+# pathology (283 ms -> 5-23 s with the fused bwd in-graph) no longer
+# reproduces after the decoder/upscale rework; set
+# ULLSAM_FUSED_FLASH_BWD=0 to fall back to the XLA vjp for debugging.
+import os as _os
+
+USE_FUSED_BWD = _os.environ.get("ULLSAM_FUSED_FLASH_BWD", "1") != "0"
 
 
 def _vit_flash_bwd(block_q, block_k, res, g):
