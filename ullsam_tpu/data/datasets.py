@@ -243,3 +243,79 @@ class PrefetchIterator:
                 raise self._err
             raise StopIteration
         return item
+
+
+def pack_examples(examples: List[Dict[str, np.ndarray]], max_length: int,
+                  pad_token_id: int) -> Dict[str, np.ndarray]:
+    """Pack tokenized examples into one [1, max_length] row with segment
+    ids (1..k, 0 = pad) — the varlen replacement for one-doc-per-row
+    padding batches. Returns input_ids/segment_ids/labels [1, S] plus
+    pixel_values [k, ...] stacked in token-stream order (fusion_forward
+    packed mode). Examples must jointly fit max_length (caller packs
+    greedily)."""
+    ids = np.full((max_length,), pad_token_id, np.int32)
+    seg = np.zeros((max_length,), np.int32)
+    lab = np.full((max_length,), -100, np.int32)
+    pixels = []
+    off = 0
+    for s, e in enumerate(examples, start=1):
+        n = int(e["attention_mask"].sum())
+        assert off + n <= max_length, "examples overflow max_length"
+        ids[off:off + n] = e["input_ids"][:n]
+        seg[off:off + n] = s
+        lab[off:off + n] = e["labels"][:n]
+        if "pixel_values" in e:
+            pixels.append(e["pixel_values"])
+        off += n
+    out = {"input_ids": ids[None], "segment_ids": seg[None],
+           "labels": lab[None]}
+    if pixels:
+        out["pixel_values"] = np.stack(pixels)
+    return out
+
+
+def packed_batch_iterator_sharded(dataset, rows_per_batch: int,
+                                  max_length: int, pad_token_id: int, *,
+                                  docs_per_row: int = 2,
+                                  shuffle: bool = True, seed: int = 0,
+                                  process_index: int = 0,
+                                  process_count: int = 1,
+                                  epoch: int = 0
+                                  ) -> Iterator[Dict[str, np.ndarray]]:
+    """Pack EXACTLY `docs_per_row` samples into each row (fixed shapes —
+    a variable per-row image count would retrace the jitted step every
+    batch). A sample that would overflow max_length is dropped. Yields
+    batches of `rows_per_batch` packed rows; pixel_values carries the
+    images of all rows' samples concatenated in row-major order (the
+    order scatter_image_embeds consumes them)."""
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed + epoch).shuffle(order)
+    order = order[process_index::process_count]
+
+    rows, cur, cur_len, dropped = [], [], 0, 0
+    for i in order:
+        e = dataset.example(int(i))
+        ln = int(e["attention_mask"].sum())
+        if cur_len + ln > max_length:
+            dropped += 1
+            continue
+        cur.append(e)
+        cur_len += ln
+        if len(cur) == docs_per_row:
+            rows.append(cur)
+            cur, cur_len = [], 0
+        if len(rows) == rows_per_batch:
+            packed = [pack_examples(r, max_length, pad_token_id)
+                      for r in rows]
+            batch = {k: np.concatenate([p[k] for p in packed])
+                     for k in ("input_ids", "segment_ids", "labels")}
+            pix = [p["pixel_values"] for p in packed if "pixel_values" in p]
+            if pix:
+                batch["pixel_values"] = np.concatenate(pix)
+            yield batch
+            rows = []
+    if dropped:  # no silent caps: surface what the packer skipped
+        print(f"[pack] dropped {dropped} samples that overflowed "
+              f"max_length={max_length}")

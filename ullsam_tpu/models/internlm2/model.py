@@ -188,6 +188,7 @@ def internlm2_forward(
     inputs_embeds: Optional[Array] = None,
     attention_mask: Optional[Array] = None,
     position_ids: Optional[Array] = None,
+    segment_ids: Optional[Array] = None,
     output_hidden_states: bool = False,
     remat: bool = False,
 ) -> dict:
@@ -195,11 +196,31 @@ def internlm2_forward(
     'last_hidden' [B,S,H] (post final norm), and optionally
     'hidden_states' [n_layers+1, B, S, H] (per-layer inputs, HF ordering:
     hidden_states[i] is the input to layer i; last_hidden is the post-norm
-    final, matching outputs.hidden_states[-1] semantics via select)."""
+    final, matching outputs.hidden_states[-1] semantics via select).
+
+    segment_ids [B, S] int32 (0 = padding): PACKED-sequence mode — several
+    documents share one row, tokens attend only within their own nonzero
+    segment, and RoPE positions restart per segment. The flash kernel
+    consumes segment ids natively; the XLA path builds the equivalent
+    block-diagonal causal mask (replaces the reference's one-doc-per-row
+    padding batches, modeling_internlm2.py:1131-1134)."""
     if inputs_embeds is None:
         inputs_embeds = embed_tokens(params, input_ids)
     x = inputs_embeds
     B, S, H = x.shape
+    if segment_ids is not None:
+        attention_mask = (segment_ids != 0).astype(jnp.int32)
+        if position_ids is None:
+            # restart positions at each packed-segment boundary
+            same = (segment_ids[:, 1:] == segment_ids[:, :-1])
+            run = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.int32), same.astype(jnp.int32)],
+                axis=-1)
+            # position = index - (index of segment start)
+            idx = jnp.arange(S)[None]
+            start = idx * (1 - run)
+            start = jax.lax.associative_scan(jnp.maximum, start, axis=-1)
+            position_ids = (idx - start) * attention_mask
     if attention_mask is None:
         attention_mask = jnp.ones((B, S), jnp.int32)
     if position_ids is None:
@@ -212,13 +233,19 @@ def internlm2_forward(
 
     # XLA attention runs near-roofline at uLLSAM's ~1.2k sequences (bf16
     # 24-layer fwd measured ~146 TFLOP/s on v5e); the flash kernel wins
-    # once the S^2 logits stop fitting in fused scratch — long-context only.
+    # once the S^2 logits stop fitting in fused scratch — see the measured
+    # crossover sweep in docs/BENCHMARKS.md (flash wins from S=2048 up).
     use_flash = (jax.default_backend() == "tpu" and S >= 2048)
+    seg = (segment_ids.astype(jnp.int32) if segment_ids is not None
+           else attention_mask.astype(jnp.int32))
     if use_flash:
-        seg = attention_mask.astype(jnp.int32)
         mask = (seg, seg)
     else:
         mask = causal_mask(attention_mask, S, S)
+        if segment_ids is not None:
+            cross = jnp.where(seg[:, :, None] == seg[:, None, :], 0.0,
+                              NEG_INF)
+            mask = mask + cross
 
     stacked = params["layers"]
 
@@ -342,47 +369,65 @@ def internlm2_decode_step(params: dict, cfg: InternLM2Config,
 
 def internlm2_decode_step_multi(params: dict, cfg: InternLM2Config,
                                 token_embeds: Array, cache: KVCache,
-                                active: Array) -> Tuple[Array, KVCache]:
+                                active: Array,
+                                attend_len: Optional[int] = None
+                                ) -> Tuple[Array, KVCache]:
     """Continuous-batching decode step: PER-ROW write positions.
 
     Rows must be right-padded (tokens packed at slots [0, len)); each
     active row writes its token at slot len_b = sum(mask[b]). Inactive
     rows are ignored (their mask is not advanced, so a later admit can
     overwrite the slot). token_embeds [B, 1, H]; active [B] bool.
-    Returns (logits [B, V], cache).
+
+    attend_len (static): length-bucketed attention window — attention
+    reads only cache slots [0, attend_len). Every row's valid length
+    (including this step's write) must be <= attend_len; the serving
+    engine picks the bucket from host-tracked positions. At b=4/L=24 the
+    full 2560-slot read is ~1 GB/step of HBM traffic; short buckets
+    reclaim most of it. Returns (logits [B, V], cache).
     """
     B = token_embeds.shape[0]
     rows = jnp.arange(B)
     pos = jnp.sum(cache.mask, axis=-1)            # [B] next free slot
     position_ids = pos[:, None]                   # rope positions
     max_len = cache.k.shape[2]
+    W = max_len if attend_len is None else min(attend_len, max_len)
     cos, sin = rope_cos_sin(cfg, position_ids, ntk_seq_len=max_len)
 
     new_mask = cache.mask.at[rows, pos].set(
         jnp.where(active, 1, cache.mask[rows, pos]))
-    attn_mask = jnp.where(new_mask[:, None, :].astype(bool), 0.0, NEG_INF)
+    attn_mask = jnp.where(new_mask[:, None, :W].astype(bool), 0.0, NEG_INF)
 
     x = token_embeds
 
+    # The layer scan consumes only the [*, :W] cache WINDOW as xs and
+    # emits just each layer's new [B, n_kv, hd] entries as ys; threading
+    # the full cache through xs/ys read+wrote ~2 GB/step at max_len=2560
+    # (more than the 1.9 GB of weights) and made the attention window
+    # irrelevant. One batched scatter installs all layers' new k/v.
     def body(carry, xs):
         x = carry
-        lp, kc, vc = xs
+        lp, kc, vc = xs                            # [B, W, n_kv, hd]
         h = L.rms_norm(lp["attention_norm"], x, eps=cfg.rms_norm_eps)
         qkv = L.linear(lp["wqkv"], h)
         q, k, v = _split_wqkv(qkv, cfg)
         q, k = apply_rope(q, k, cos, sin)
-        kc = kc.at[rows, pos].set(k[:, 0].astype(kc.dtype))
-        vc = vc.at[rows, pos].set(v[:, 0].astype(vc.dtype))
+        k1 = k[:, 0].astype(kc.dtype)
+        v1 = v[:, 0].astype(vc.dtype)
+        kc = kc.at[rows, pos].set(k1)
+        vc = vc.at[rows, pos].set(v1)
         attn = gqa_attention(q, kc.astype(q.dtype), vc.astype(q.dtype),
                              attn_mask, cfg)
         x = x + L.linear(lp["wo"], attn.reshape(B, 1, cfg.hidden_size))
         h = L.rms_norm(lp["ffn_norm"], x, eps=cfg.rms_norm_eps)
         x = x + L.swiglu(lp, h)
-        return x, (kc, vc)
+        return x, (k1, v1)
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"],
-                                               cache.k, cache.v))
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (params["layers"], cache.k[:, :, :W], cache.v[:, :, :W]))
     last_hidden = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
     logits = L.linear(params["output"], last_hidden)[:, 0, :]
+    new_k = cache.k.at[:, rows, pos].set(k_new)   # [L, B, n_kv, hd]
+    new_v = cache.v.at[:, rows, pos].set(v_new)
     return logits, KVCache(k=new_k, v=new_v, mask=new_mask,
                            index=cache.index)

@@ -185,6 +185,7 @@ def fusion_forward(
     input_ids: Array,
     attention_mask: Optional[Array] = None,
     labels: Optional[Array] = None,
+    segment_ids: Optional[Array] = None,
     output_dense_prompt: bool = False,
     stop_vision_gradient: bool = True,
     remat: bool = False,
@@ -199,6 +200,13 @@ def fusion_forward(
       image_embeddings [B, 64, 64, 256] raw SAM features (always — computed
         once, reused by the mask decoder; fixes the reference's duplicate
         vision pass, train_joint_v2.py:1014-1021)
+
+    segment_ids [B, N] (0 = pad): PACKED rows — several samples per row,
+    attention confined to each segment, RoPE restarting per segment, and
+    the CE shift masked at segment boundaries. pixel_values then carries
+    ALL packed images [total_imgs, ...] in flattened token-stream order
+    (scatter_image_embeds consumes them sequentially). dense_prompt
+    requires one image per row and is unavailable in packed mode.
     """
     vit_tokens, sam_feats = extract_feature(
         params, cfg, pixel_values, stop_vision_gradient=stop_vision_gradient,
@@ -209,6 +217,7 @@ def fusion_forward(
     out = LLM.internlm2_forward(params["llm"], cfg.llm,
                                 inputs_embeds=embeds,
                                 attention_mask=attention_mask,
+                                segment_ids=segment_ids,
                                 remat=remat)
     result = {"logits": out["logits"], "image_embeddings": sam_feats}
 
@@ -216,6 +225,9 @@ def fusion_forward(
         logits = out["logits"][:, :-1, :].astype(jnp.float32)
         targets = labels[:, 1:]
         valid = targets != -100
+        if segment_ids is not None:
+            # packed rows: never predict across a document boundary
+            valid &= segment_ids[:, :-1] == segment_ids[:, 1:]
         safe_targets = jnp.where(valid, targets, 0)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, safe_targets[..., None],

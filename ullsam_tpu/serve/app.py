@@ -130,7 +130,9 @@ class AppServer:
         """sampling: temperature/top_p/top_k/do_sample per request — the
         reference's caption generation_config (app.py:443-459)."""
         if self.engine is not None:
-            return self.engine.caption(sess.model_input, question,
+            # ship uint8 (display is model_input*255 exactly); the engine
+            # converts on device — 4x less relay upload per caption
+            return self.engine.caption(sess.display[None], question,
                                        max_new_tokens=max_new_tokens,
                                        **sampling)
         from ullsam_tpu.models.internlm2.generate import GenerationConfig

@@ -35,9 +35,13 @@ from ullsam_tpu.models.ullsam.conversation import (build_chat_prompt,
 def _prefill_row(params, cfg: FusionConfig, input_ids, attention_mask,
                  pixel_values, cache_row: LLM.KVCache):
     """Prefill ONE request (B=1, right-packed) into a single-row cache.
-    pixel_values may be None (text-only)."""
+    pixel_values may be None (text-only), float01 [1,T,T,3], or uint8
+    (converted on device — a 1024^2 uint8 upload is 3 MB over the relay
+    vs 12.6 MB as float32)."""
     embeds = LLM.embed_tokens(params["llm"], input_ids)
     if pixel_values is not None:
+        if pixel_values.dtype == jnp.uint8:
+            pixel_values = pixel_values.astype(jnp.float32) / 255.0
         vit_tokens, _ = F.extract_feature(params, cfg, pixel_values)
         embeds = F.scatter_image_embeds(input_ids, embeds, vit_tokens,
                                         cfg.img_context_token_id)
@@ -62,11 +66,11 @@ def _splice_slot(cache: LLM.KVCache, row: LLM.KVCache, slot) -> LLM.KVCache:
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_steps", "dynamic_sampling",
-                                    "pad_token_id"))
+                                    "pad_token_id", "attend_len"))
 def _engine_step(params, cfg: FusionConfig, tokens, cache: LLM.KVCache,
                  active, samp: SamplingParams, rng,
                  n_steps: int = 1, dynamic_sampling: bool = False,
-                 pad_token_id: int = 2):
+                 pad_token_id: int = 2, attend_len: int = None):
     """n_steps continuous-batching decode steps in ONE dispatch.
 
     On the axon relay each host sync costs tens of ms, so single-token
@@ -75,6 +79,11 @@ def _engine_step(params, cfg: FusionConfig, tokens, cache: LLM.KVCache,
     hit EOS mid-chunk keep decoding harmlessly (their overrun cache
     entries are overwritten when the slot is re-admitted) and the host
     trims at the first EOS. Returns tokens [B, n_steps].
+
+    attend_len (static): length-bucketed attention window — the worker
+    passes the smallest bucket covering every active row's position plus
+    n_steps, so decode reads a prefix of the KV cache instead of all
+    max_len slots (the b=4 full-cache scan was ~1 GB/step of HBM reads).
 
     Sampling knobs are PER-ROW arrays (the reference takes temp/top_p/
     top_k/do_sample per caption call, app.py:443-459); when every active
@@ -85,7 +94,8 @@ def _engine_step(params, cfg: FusionConfig, tokens, cache: LLM.KVCache,
         tokens, cache, rng = carry
         embeds = LLM.embed_tokens(params["llm"], tokens)[:, None, :]
         logits, cache = LLM.internlm2_decode_step_multi(
-            params["llm"], cfg.llm, embeds, cache, active)
+            params["llm"], cfg.llm, embeds, cache, active,
+            attend_len=attend_len)
         rng, step_rng = jax.random.split(rng)
         if dynamic_sampling:
             nxt = sample_token_dynamic(logits, samp, step_rng)
@@ -137,6 +147,8 @@ class GenerationEngine:
         self.rng = jax.random.PRNGKey(seed)
         self.slots: List[Optional[_Request]] = [None] * max_batch
         self.slot_budget = [0] * max_batch
+        self.slot_pos = [0] * max_batch      # host-tracked valid lengths
+        self.slot_active = [False] * max_batch
         self.cur_tokens = np.full((max_batch,), self.gen.pad_token_id,
                                   np.int32)
         self.steps_per_dispatch = max(1, steps_per_dispatch)
@@ -224,7 +236,12 @@ class GenerationEngine:
 
     # -- internals --------------------------------------------------------
 
-    def _admit(self, slot: int, req: _Request):
+    def _admit_dispatch(self, slot: int, req: _Request):
+        """Dispatch prefill + first-token sample + cache splice WITHOUT any
+        host sync; returns the device handle of the first token. The worker
+        dispatches the next decode chunk before resolving the handle, so
+        prefill host latency is hidden behind decode compute (the round-1
+        engine blocked every stream on each synchronous prefill)."""
         # bucket the prompt length to a multiple of 128 so _prefill_row
         # compiles once per bucket, not once per prompt length
         real = len(req.input_ids)
@@ -243,24 +260,23 @@ class GenerationEngine:
                                          pv, row_cache)
         self.rng, srng = jax.random.split(self.rng)
         gen = req.gen or self.gen
-        tok = int(np.asarray(_sample_row(
-            logits, SamplingParams.from_configs([gen]), srng))[0])
+        tok_dev = _sample_row(logits, SamplingParams.from_configs([gen]),
+                              srng)
         self.cache = _splice_slot(self.cache, row_cache,
                                   jnp.asarray(slot, jnp.int32))
         self.slots[slot] = req
+        self.slot_pos[slot] = real
+        self.slot_active[slot] = True          # speculatively active
         self.slot_budget[slot] = req.max_new_tokens - 1
-        self.cur_tokens[slot] = tok
-        req.tokens.append(tok)
-        if req.stream is not None:
-            req.stream.put(tok)
-        if tok == self.gen.eos_token_id or req.max_new_tokens <= 1:
-            self._finish(slot)
+        return tok_dev
 
     def _finish(self, slot: int):
         req = self.slots[slot]
         if req is not None and req.stream is not None:
             req.stream.put(None)  # end-of-stream sentinel
         self.slots[slot] = None
+        self.slot_active[slot] = False
+        self.slot_pos[slot] = 0
         # free the slot: zero its mask so a new request can overwrite
         self.cache = LLM.KVCache(
             k=self.cache.k, v=self.cache.v,
@@ -268,10 +284,39 @@ class GenerationEngine:
         if req is not None:
             req.event.set()
 
+    def _attend_bucket(self, active_slots, n_steps: int) -> int:
+        """Smallest 512-multiple window covering every active row's valid
+        length after this chunk (length-bucketed KV attention)."""
+        need = max(self.slot_pos[s] for s in active_slots) + n_steps + 1
+        return min(self.max_len, ((need + 511) // 512) * 512)
+
     def _worker(self):
+        """Speculative pipelined decode loop.
+
+        Each iteration (1) dispatches admissions for free slots, (2)
+        dispatches the NEXT decode chunk from the device-resident current
+        tokens of the PREVIOUS chunk — before that chunk's results have
+        been read back — then (3) resolves first tokens and (4) consumes
+        the previous chunk's tokens. The per-chunk host round trip (tens
+        of ms through the relay) thus overlaps the next chunk's device
+        execution instead of stalling it.
+
+        Speculation is safe by construction: a row that hit EOS or its
+        budget keeps decoding garbage for at most one extra chunk (cache
+        overruns are overwritten on re-admission, exactly like mid-chunk
+        EOS), and result processing skips rows whose slot was finished or
+        re-assigned since dispatch (identity-checked via the request).
+        """
+        import collections
+        cur_dev = jnp.asarray(self.cur_tokens)   # [B] device tokens
+        # up to TWO chunks stay in flight: syncing chunk k-2 while k-1 and
+        # k are queued keeps the ~25 ms relay transfer latency entirely
+        # off the device's critical path (one-deep still stalled ~30 ms
+        # per chunk, measured)
+        inflight = collections.deque()  # (emitted_dev, [(slot,req)], n)
+        commits = []          # [(slot, req, tok_dev)] first tokens to read
         while not self._stop.is_set():
-            # admit as many queued requests as there are free slots
-            admitted = False
+            # 1. admissions: dispatch prefills into free slots (no sync)
             for slot in range(self.max_batch):
                 if self.slots[slot] is None and not self.queue.empty():
                     try:
@@ -279,57 +324,96 @@ class GenerationEngine:
                     except queue.Empty:
                         break
                     try:
-                        self._admit(slot, req)
-                        admitted = True
+                        tok_dev = self._admit_dispatch(slot, req)
+                        cur_dev = cur_dev.at[slot].set(
+                            tok_dev[0].astype(jnp.int32))
+                        commits.append((slot, req, tok_dev))
                     except Exception as e:  # surface errors to the caller
                         req.error = e
                         req.event.set()
             active_slots = [i for i in range(self.max_batch)
-                            if self.slots[i] is not None]
-            if not active_slots:
-                if not admitted:
-                    try:
-                        req = self.queue.get(timeout=0.05)
-                        self.queue.put(req)  # re-enqueue; admit next loop
-                    except queue.Empty:
-                        pass
-                continue
+                            if self.slot_active[i]]
 
-            active = np.zeros((self.max_batch,), bool)
-            active[active_slots] = True
-            # chunk size: single-step only when a pending request could
-            # actually be admitted (free slot + backlog); otherwise run
-            # multi-step chunks for throughput. Never overrun a budget.
-            free_slot = len(active_slots) < self.max_batch
-            n_steps = 1 if (free_slot and not self.queue.empty()) else min(
-                self.steps_per_dispatch,
-                min(self.slot_budget[s] for s in active_slots))
-            n_steps = max(1, n_steps)
-            slot_gens = [(self.slots[i].gen or self.gen)
-                         if self.slots[i] is not None else None
-                         for i in range(self.max_batch)]
-            dynamic = any(g is not None and g.do_sample for g in slot_gens)
-            samp = SamplingParams.from_configs(slot_gens,
-                                               pad_to=self.max_batch)
-            emitted, self.cache, self.rng = _engine_step(
-                self.params, self.cfg,
-                jnp.asarray(self.cur_tokens), self.cache,
-                jnp.asarray(active), samp, self.rng, n_steps=n_steps,
-                dynamic_sampling=dynamic,
-                pad_token_id=self.gen.pad_token_id)
-            emitted = np.array(emitted)  # [B, n_steps]
-            for slot in active_slots:
-                req = self.slots[slot]
-                done = False
-                for j in range(n_steps):
-                    tok = int(emitted[slot, j])
-                    req.tokens.append(tok)
-                    if req.stream is not None:
-                        req.stream.put(tok)
-                    self.slot_budget[slot] -= 1
-                    if tok == self.gen.eos_token_id or                             self.slot_budget[slot] <= 0:
-                        done = True
-                        break
-                if done:
+            # 2. dispatch the next decode chunk (results read NEXT loop)
+            handle = None
+            if active_slots:
+                active = np.zeros((self.max_batch,), bool)
+                active[active_slots] = True
+                # chunk size: single-step only when a pending request could
+                # actually be admitted (free slot + backlog); never overrun
+                # a budget by more than the speculation window.
+                free_slot = len(active_slots) < self.max_batch
+                n_steps = (1 if (free_slot and not self.queue.empty())
+                           else min(self.steps_per_dispatch,
+                                    max(1, min(self.slot_budget[s]
+                                               for s in active_slots))))
+                slot_gens = [(self.slots[i].gen or self.gen)
+                             if self.slots[i] is not None else None
+                             for i in range(self.max_batch)]
+                dynamic = any(self.slot_active[i] and g is not None
+                              and g.do_sample
+                              for i, g in enumerate(slot_gens))
+                samp = SamplingParams.from_configs(slot_gens,
+                                                   pad_to=self.max_batch)
+                emitted, self.cache, self.rng = _engine_step(
+                    self.params, self.cfg, cur_dev, self.cache,
+                    jnp.asarray(active), samp, self.rng, n_steps=n_steps,
+                    dynamic_sampling=dynamic,
+                    pad_token_id=self.gen.pad_token_id,
+                    attend_len=self._attend_bucket(active_slots, n_steps))
+                cur_dev = emitted[:, -1]
+                for s in active_slots:
+                    # track the DEVICE cache state: the mask advances by
+                    # n_steps for every active row regardless of EOS, so
+                    # the next bucket must cover it (advancing only on
+                    # result processing would lag one inflight chunk and
+                    # could clip valid cache entries out of the window)
+                    self.slot_pos[s] += n_steps
+                handle = (emitted,
+                          [(s, self.slots[s]) for s in active_slots],
+                          n_steps)
+
+            # 3. resolve first tokens (upstream of the chunk just
+            # dispatched in the device stream — near-free to read now)
+            for slot, req, tok_dev in commits:
+                tok = int(np.asarray(tok_dev)[0])
+                req.tokens.append(tok)
+                if req.stream is not None:
+                    req.stream.put(tok)
+                if ((tok == self.gen.eos_token_id
+                     or req.max_new_tokens <= 1)
+                        and self.slots[slot] is req):
                     self._finish(slot)
-            self.cur_tokens = np.array(emitted[:, -1])
+            commits = []
+
+            # 4. consume the oldest in-flight chunk's tokens (keep two
+            # queued while decoding; drain fully when idle)
+            if handle is not None:
+                inflight.append(handle)
+            while inflight and (len(inflight) > 2
+                                or (handle is None and inflight)):
+                emitted_prev, rows, n_prev = inflight.popleft()
+                em = np.array(emitted_prev)  # the one host sync per loop
+                for slot, req in rows:
+                    if self.slots[slot] is not req or                             not self.slot_active[slot]:
+                        continue  # finished/re-admitted since dispatch
+                    done = False
+                    for j in range(n_prev):
+                        tok = int(em[slot, j])
+                        req.tokens.append(tok)
+                        if req.stream is not None:
+                            req.stream.put(tok)
+                        self.slot_budget[slot] -= 1
+                        if (tok == self.gen.eos_token_id
+                                or self.slot_budget[slot] <= 0):
+                            done = True
+                            break
+                    if done:
+                        self._finish(slot)
+
+            if handle is None and not active_slots:
+                try:
+                    req = self.queue.get(timeout=0.05)
+                    self.queue.put(req)  # re-enqueue; admit next loop
+                except queue.Empty:
+                    pass

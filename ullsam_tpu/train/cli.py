@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--images_root", default=None)
     p.add_argument("--tokenizer_path", default=None)
     p.add_argument("--max_length", type=int, default=1280)
+    p.add_argument("--pack", action="store_true",
+                   help="pretrain/sft only: pack several samples per row "
+                        "with segment ids (varlen flash attention) instead "
+                        "of one padded sample per row")
     p.add_argument("--img_size", type=int, default=1024)
     p.add_argument("--num_pos_points", type=int, default=1)
     p.add_argument("--num_neg_points", type=int, default=3)
@@ -208,11 +212,23 @@ def main(argv=None):
     timer = StepTimer()
     step = start_step
     with jax.sharding.set_mesh(mesh):
-        for epoch in range(start_epoch, args.epochs):
-            for batch in PrefetchIterator(batch_iterator_sharded(
+        if args.pack and args.mode in ("pretrain", "sft"):
+            from ullsam_tpu.data.datasets import packed_batch_iterator_sharded
+
+            def make_iter(epoch):
+                return packed_batch_iterator_sharded(
+                    dataset, args.batch_size, args.max_length,
+                    tokenizer.pad_token_id, seed=args.seed,
+                    process_index=jax.process_index(),
+                    process_count=jax.process_count(), epoch=epoch)
+        else:
+            def make_iter(epoch):
+                return batch_iterator_sharded(
                     dataset, args.batch_size, seed=args.seed,
                     process_index=jax.process_index(),
-                    process_count=jax.process_count(), epoch=epoch)):
+                    process_count=jax.process_count(), epoch=epoch)
+        for epoch in range(start_epoch, args.epochs):
+            for batch in PrefetchIterator(make_iter(epoch)):
                 if args.max_steps and step >= args.max_steps:
                     break
                 timer.start()

@@ -128,6 +128,7 @@ def seg_loss_fn(params, cfg: FusionConfig, tcfg: TrainConfig, batch: dict
         params, cfg, batch["pixel_values"], batch["input_ids"],
         attention_mask=batch.get("attention_mask"),
         labels=batch.get("labels"),
+        segment_ids=batch.get("segment_ids"),
         output_dense_prompt=(tcfg.use_llm_hidden_states
                              and tcfg.seg_weight != 0.0),
         stop_vision_gradient=False, remat=tcfg.remat)
