@@ -79,3 +79,27 @@ def test_eval_cli_smoke(tmp_path):
                        "/root/reference/modeling/tokenizer",
                        "--limit", "1"])
     assert "nll" in summary_lm
+
+
+def test_hungarian_match_beats_greedy_when_greedy_suboptimal():
+    """Crafted case: greedy assigns pred0 its best GT and starves pred1;
+    Hungarian finds the assignment with two TPs."""
+    import numpy as np
+    from ullsam_tpu.eval.seg_metrics import greedy_match, hungarian_match
+
+    iou = np.asarray([[0.9, 0.8],
+                      [0.85, 0.0]], np.float32)
+    # greedy: pred0 -> gt0 (0.9), pred1 -> gt0 taken, gt1 iou 0.0 -> 1 TP
+    tp_g, _, _, _ = greedy_match(iou, 0.5)
+    tp_h, fp_h, fn_h, matched = hungarian_match(iou, 0.5)
+    assert tp_g == 1
+    assert (tp_h, fp_h, fn_h) == (2, 0, 0)
+    assert sorted(round(m, 2) for m in matched) == [0.8, 0.85]
+
+    from ullsam_tpu.eval.seg_metrics import average_precision
+    pred = np.zeros((2, 8, 8), bool)
+    gt = np.zeros((2, 8, 8), bool)
+    pred[0, :4], pred[1, 4:] = True, True
+    gt[0, :4], gt[1, 4:] = True, True
+    r = average_precision(pred, gt, matcher="hungarian")
+    assert r["ap50"] == 1.0

@@ -180,3 +180,38 @@ def test_fused_two_way_transformer_matches_xla():
     np.testing.assert_allclose(np.asarray(k, np.float32),
                                np.asarray(keys_ref, np.float32),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_vit_window_attention_packed_matches_xla():
+    """Packed whole-window kernel (interpret mode) vs the XLA reference on
+    the packed layout, plus gradient parity through the custom vjp."""
+    from ullsam_tpu.ops.pallas import flash_attention as FA
+
+    nh, hd, kh, kw = 4, 80, 6, 6
+    N = kh * kw
+    B = 3
+    HP = FA._HP
+    rng = np.random.RandomState(0)
+    qkvp = np.zeros((B, N, 3 * nh * HP), np.float32)
+    for s in range(3):
+        for h in range(nh):
+            qkvp[:, :, (s * nh + h) * HP:(s * nh + h) * HP + hd] = \
+                rng.randn(B, N, hd) * 0.3
+    rhf = np.zeros((HP, kh * kh), np.float32)
+    rwf = np.zeros((HP, kw * kw), np.float32)
+    rhf[:hd] = rng.randn(hd, kh * kh) * 0.2
+    rwf[:hd] = rng.randn(hd, kw * kw) * 0.2
+    args = (jnp.asarray(qkvp), jnp.asarray(rhf), jnp.asarray(rwf))
+
+    ref = FA._window_packed_xla(*args, nh, hd, kh, kw)
+    with pltpu.force_tpu_interpret_mode():
+        out = FA.vit_window_attention_packed(*args, nh, hd, kh, kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(lambda *a: jnp.sum(
+            FA.vit_window_attention_packed(*a, nh, hd, kh, kw) ** 2))(*args)
+    gref = jax.grad(lambda *a: jnp.sum(
+        FA._window_packed_xla(*a, nh, hd, kh, kw) ** 2))(*args)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=1e-3)

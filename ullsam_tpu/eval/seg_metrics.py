@@ -57,16 +57,43 @@ def greedy_match(iou: np.ndarray, threshold: float):
     return tp, n - tp, m - tp, matched
 
 
+def hungarian_match(iou: np.ndarray, threshold: float):
+    """Optimal (Hungarian) matching -> (tp, fp, fn, matched ious).
+
+    The reference carries an (unused) Hungarian variable_instance_loss
+    (train_joint_v2.py:698-940, dead code); this provides the optimal
+    matcher for EVALUATION, where greedy matching can undercount TPs when
+    one prediction overlaps several GTs. Uses scipy's
+    linear_sum_assignment; falls back to greedy if scipy is absent."""
+    n, m = iou.shape
+    if n == 0 or m == 0:
+        return 0, n, m, []
+    try:
+        from scipy.optimize import linear_sum_assignment
+    except ImportError:  # pragma: no cover
+        return greedy_match(iou, threshold)
+    rows, cols = linear_sum_assignment(-iou)
+    matched = [iou[i, j] for i, j in zip(rows, cols)
+               if iou[i, j] >= threshold]
+    tp = len(matched)
+    return tp, n - tp, m - tp, matched
+
+
 def average_precision(pred: np.ndarray, gt: np.ndarray,
                       thresholds: Sequence[float] = tuple(
-                          np.arange(0.5, 1.0, 0.05))) -> Dict[str, float]:
-    """AP_t = tp / (tp + fp + fn) per threshold (CellPose convention)."""
+                          np.arange(0.5, 1.0, 0.05)),
+                      matcher: str = "greedy") -> Dict[str, float]:
+    """AP_t = tp / (tp + fp + fn) per threshold (CellPose convention).
+
+    matcher: "greedy" (CellPose-style, default) or "hungarian" (optimal
+    assignment)."""
+    match_fn = hungarian_match if matcher == "hungarian" else greedy_match
     iou = mask_iou_matrix(pred, gt)
     out = {}
     aps = []
     all_matched = []
     for t in thresholds:
-        tp, fp, fn, matched = greedy_match(iou, t)
+        tp, fp, fn, matched = match_fn(iou, t)
         ap = tp / max(tp + fp + fn, 1)
         aps.append(ap)
         if abs(t - 0.5) < 1e-6:

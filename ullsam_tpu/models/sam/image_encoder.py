@@ -119,16 +119,73 @@ def _use_flash(cfg: ViTConfig, n_tokens: int) -> bool:
     return n_tokens >= 1024 and n_tokens % 512 == 0
 
 
-def _vit_attention(params: dict, x: Array, cfg: ViTConfig) -> Array:
+def _use_window_kernel(cfg: ViTConfig, H: int, W: int) -> bool:
+    """Whole-window Pallas attention for small windowed grids on TPU."""
+    if jax.default_backend() != "tpu":
+        return False
+    return 4 <= H * W < 1024 and H <= 32 and W <= 32
+
+
+def _vit_attention_window_packed(params: dict, x: Array,
+                                 cfg: ViTConfig) -> Array:
+    """Windowed attention with NO head-split layout in HBM.
+
+    The qkv projection is emitted head-major with each head's hd channels
+    padded to 128 lanes (a weight-side pad/reshape, so per-head q/k/v are
+    aligned lane slices inside the Pallas kernel), the decomposed rel-pos
+    bias is rebuilt in-kernel from the shared gathered tables, and the
+    output projection consumes the padded layout directly. Replaces the
+    XLA windowed path whose [B, N, 3, nh, hd] head split + f32 [400, N, N]
+    logits chain cost ~1 ms/layer of relayout copies on ViT-H.
+    """
+    from ullsam_tpu.ops.pallas.flash_attention import (
+        _HP, vit_window_attention_packed)
+    B, H, W, C = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    wq = params["qkv"]["kernel"].astype(x.dtype)            # [C, 3C]
+    wp = jnp.pad(wq.reshape(C, 3, nh, hd),
+                 ((0, 0), (0, 0), (0, 0), (0, _HP - hd)))
+    qkvp = jnp.dot(x.reshape(B, H * W, C), wp.reshape(C, 3 * nh * _HP),
+                   preferred_element_type=jnp.float32)
+    if "bias" in params["qkv"]:
+        bb = params["qkv"]["bias"].astype(jnp.float32)
+        qkvp = qkvp + jnp.pad(bb.reshape(3, nh, hd),
+                              ((0, 0), (0, 0), (0, _HP - hd))).reshape(-1)
+    qkvp = qkvp.astype(x.dtype)
+
+    Rh = A.get_rel_pos(H, H, params["rel_pos_h"]).astype(x.dtype)
+    rhf = jnp.pad(jnp.transpose(Rh, (2, 0, 1)).reshape(hd, H * H),
+                  ((0, _HP - hd), (0, 0)))
+    Rw = A.get_rel_pos(W, W, params["rel_pos_w"]).astype(x.dtype)
+    rwf = jnp.pad(jnp.transpose(Rw, (2, 0, 1)).reshape(hd, W * W),
+                  ((0, _HP - hd), (0, 0)))
+
+    out = vit_window_attention_packed(qkvp, rhf, rwf, nh, hd, H, W)
+
+    wo = params["proj"]["kernel"].astype(x.dtype)           # [nh*hd, C]
+    wop = jnp.pad(wo.reshape(nh, hd, C),
+                  ((0, 0), (0, _HP - hd), (0, 0))).reshape(nh * _HP, C)
+    y = jnp.dot(out, wop, preferred_element_type=jnp.float32)
+    if "bias" in params["proj"]:
+        y = y + params["proj"]["bias"].astype(jnp.float32)
+    return y.astype(x.dtype).reshape(B, H, W, C)  # match L.linear's cast
+
+
+def _vit_attention(params: dict, x: Array, cfg: ViTConfig,
+                   allow_window_kernel: bool = True) -> Array:
     """Multi-head self-attention over an [B,H,W,C] token grid.
 
     Heads are folded into the batch dim ([B*nh, N, hd]) so the decomposed
     rel-pos einsums apply per-head exactly as the reference
     (image_encoder.py:224-240). Large global grids dispatch to the Pallas
-    flash kernel with the bias kept in factored (rel_h, rel_w) form.
+    flash kernel with the bias kept in factored (rel_h, rel_w) form;
+    windowed grids use the packed whole-window kernel.
     """
     B, H, W, C = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
+    if (allow_window_kernel and cfg.use_rel_pos and H == W and hd <= 128
+            and _use_window_kernel(cfg, H, W)):
+        return _vit_attention_window_packed(params, x, cfg)
     qkv = L.linear(params["qkv"], x)  # [B,H,W,3C]
     qkv = qkv.reshape(B, H * W, 3, nh, hd)
     qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * nh, H * W, hd)
@@ -151,13 +208,15 @@ def _vit_attention(params: dict, x: Array, cfg: ViTConfig) -> Array:
     return L.linear(params["proj"], out)
 
 
-def _block_apply(params: dict, x: Array, cfg: ViTConfig, window_size: int) -> Array:
+def _block_apply(params: dict, x: Array, cfg: ViTConfig, window_size: int,
+                 allow_window_kernel: bool = True) -> Array:
     shortcut = x
     x = L.layer_norm(params["norm1"], x, eps=cfg.ln_eps)
     if window_size > 0:
         H, W = x.shape[1], x.shape[2]
         x, pad_hw = window_partition(x, window_size)
-    x = _vit_attention(params["attn"], x, cfg)
+    x = _vit_attention(params["attn"], x, cfg,
+                       allow_window_kernel=allow_window_kernel)
     if window_size > 0:
         x = window_unpartition(x, window_size, pad_hw, (H, W))
     x = shortcut + x
@@ -166,7 +225,8 @@ def _block_apply(params: dict, x: Array, cfg: ViTConfig, window_size: int) -> Ar
 
 
 def _block_windowed_prepartitioned(params: dict, x: Array, cfg: ViTConfig,
-                                   pad_mask) -> Array:
+                                   pad_mask,
+                                   allow_window_kernel: bool = True) -> Array:
     """Window block operating on an ALREADY-partitioned [B*nw, ws, ws, C]
     grid. Matches the reference exactly: it zero-pads the normed
     activations before each block's attention (image_encoder.py:166-182),
@@ -178,7 +238,8 @@ def _block_windowed_prepartitioned(params: dict, x: Array, cfg: ViTConfig,
     h = L.layer_norm(params["norm1"], x, eps=cfg.ln_eps)
     if pad_mask is not None:
         h = h * pad_mask
-    h = _vit_attention(params["attn"], h, cfg)
+    h = _vit_attention(params["attn"], h, cfg,
+                       allow_window_kernel=allow_window_kernel)
     x = shortcut + h
     return x + L.mlp_block(params["mlp"], L.layer_norm(params["norm2"], x,
                                                        eps=cfg.ln_eps))
@@ -203,7 +264,8 @@ def image_encoder_apply(params: dict, x: Array, cfg: ViTConfig,
     while i < depth:
         if is_global[i] or ws == 0:
             blk = params["blocks"][i]
-            x = wrap(lambda p, y: _block_apply(p, y, cfg, 0))(blk, x)
+            x = wrap(lambda p, y: _block_apply(
+                p, y, cfg, 0, allow_window_kernel=not remat))(blk, x)
             i += 1
             continue
         # run of consecutive windowed blocks: partition once
@@ -220,7 +282,8 @@ def image_encoder_apply(params: dict, x: Array, cfg: ViTConfig,
         for k in range(i, j):
             blk = params["blocks"][k]
             xw = wrap(lambda p, y: _block_windowed_prepartitioned(
-                p, y, cfg, pad_mask))(blk, xw)
+                p, y, cfg, pad_mask,
+                allow_window_kernel=not remat))(blk, xw)
         x = window_unpartition(xw, ws, pad_hw, (H, W))
         i = j
     # neck: 1x1 conv -> LN(channel) -> 3x3 conv(same) -> LN(channel)

@@ -506,3 +506,144 @@ def _vit_flash_bwd_impl(q, k, v, rel_h, rel_w, out, lse, g,
     drel_h = drhw[..., :KH].astype(rel_h.dtype)
     drel_w = drhw[..., KH:].astype(rel_w.dtype)
     return dq, dk, dv, drel_h, drel_w
+
+
+# ---------------------------------------------------------------------------
+# ViT WINDOWED attention (packed head-major layout, rel-pos built in-kernel)
+# ---------------------------------------------------------------------------
+#
+# The 28 windowed ViT-H layers ran attention in XLA: the f32 [B*nh, N, N]
+# logits/bias chain plus the [B, N, 3, nh, hd] head-split materialized ~1 ms
+# of relayout copies per layer (~25 ms of the 108 ms encode). Here the qkv
+# projection is emitted in a PACKED head-major layout — each head's hd
+# channels padded to 128 lanes, so per-head q/k/v are 128-aligned lane
+# slices and no head-split transpose ever exists in HBM — and one grid
+# program computes a whole window: per head, the decomposed rel-pos bias is
+# rebuilt from the (shared) gathered tables with two masked matmuls, and a
+# direct single-tile softmax finishes the window.
+
+_HP = 128  # padded per-head width (hd <= 128)
+
+
+def _vit_window_kernel(qkvp_ref, rhf_ref, rwf_ref, o_ref,
+                       *, kh: int, kw: int, nh: int, scale: float):
+    n = kh * kw
+    f32 = jnp.float32
+    # cols of G are (r, i) pairs, r-major: col = r*kw + i
+    MH = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // kw
+          == jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // kw)
+    MW = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // kw
+          == jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) % kw)
+    T = (jax.lax.broadcasted_iota(jnp.int32, (n, kw), 0) % kw
+         == jax.lax.broadcasted_iota(jnp.int32, (n, kw), 1)).astype(f32)
+    SH = (jax.lax.broadcasted_iota(jnp.int32, (kh, n), 1) // kw
+          == jax.lax.broadcasted_iota(jnp.int32, (kh, n), 0)).astype(f32)
+    SW = (jax.lax.broadcasted_iota(jnp.int32, (kw, n), 1) % kw
+          == jax.lax.broadcasted_iota(jnp.int32, (kw, n), 0)).astype(f32)
+    HP = _HP
+    qkvp = qkvp_ref[0]                          # [N, 3*nh*HP]
+    for h in range(nh):
+        q = qkvp[:, h * HP:(h + 1) * HP]        # [N, HP] (pad cols zero)
+        k = qkvp[:, (nh + h) * HP:(nh + h + 1) * HP]
+        v = qkvp[:, (2 * nh + h) * HP:(2 * nh + h + 1) * HP]
+        # decomposed rel-pos: G[nq, (r, i)] = q . Rh[r, i]; keep only the
+        # nq-row's r, then fold i — two masked matmuls per axis
+        gh = jax.lax.dot_general(q, rhf_ref[:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+        rel_h = jax.lax.dot_general(jnp.where(MH, gh, 0.0), T,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)  # [N, kh]
+        gw = jax.lax.dot_general(q, rwf_ref[:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+        rel_w = jax.lax.dot_general(jnp.where(MW, gw, 0.0), T,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)  # [N, kw]
+        bias = (jax.lax.dot_general(rel_h, SH, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)
+                + jax.lax.dot_general(rel_w, SW, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=f32))
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32) * scale + bias
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
+        o_ref[0, :, h * HP:(h + 1) * HP] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(o_ref.dtype)
+
+
+def _window_packed_xla(qkvp, rhf, rwf, nh, hd, kh, kw):
+    """Reference math on the packed layout (backward pass + tests)."""
+    B, N, _ = qkvp.shape
+    HP = _HP
+    qkv = qkvp.reshape(B, N, 3, nh, HP)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    g_h = jnp.einsum("bnhd,dm->bnhm", q, rhf.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    g_w = jnp.einsum("bnhd,dm->bnhm", q, rwf.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    import numpy as _np
+    rows = _np.arange(N) // kw
+    cols = _np.arange(N) % kw
+    oh = _np.zeros((N, kh, kh * kw), _np.float32)
+    ow = _np.zeros((N, kw, kw * kw), _np.float32)
+    oh[_np.arange(N)[:, None], _np.arange(kh)[None, :],
+       rows[:, None] * kw + _np.arange(kh)[None, :]] = 1.0
+    ow[_np.arange(N)[:, None], _np.arange(kw)[None, :],
+       cols[:, None] * kw + _np.arange(kw)[None, :]] = 1.0
+    rel_h = jnp.einsum("bnhm,nim->bnhi", g_h, jnp.asarray(oh))
+    rel_w = jnp.einsum("bnhm,njm->bnhj", g_w, jnp.asarray(ow))
+    bias = rel_h[..., :, None] + rel_w[..., None, :]   # [B, N, nh, kh, kw]
+    bias = bias.reshape(B, N, nh, N).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * (hd ** -0.5) + bias, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, N, nh * HP).astype(qkvp.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def vit_window_attention_packed(qkvp: Array, rhf: Array, rwf: Array,
+                                nh: int, hd: int, kh: int, kw: int) -> Array:
+    """Whole-window attention over the packed head-major qkv.
+
+    qkvp: [B_windows, N, 3*nh*128] — q|k|v sections, each head's hd
+    channels left-aligned in a 128-lane slot (pad lanes zero).
+    rhf/rwf: [128, kh*kh] / [128, kw*kw] gathered rel-pos tables,
+    rhf[d, r*kw + i] = Rh[r, i, d] (pad rows zero).
+    Returns [B, N, nh*128] head-major padded outputs (pad lanes zero).
+    Backward is the exact XLA-math vjp (windowed layers run under remat).
+    """
+    B, N, _ = qkvp.shape
+    kernel = functools.partial(_vit_window_kernel, kh=kh, kw=kw, nh=nh,
+                               scale=hd ** -0.5)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, 3 * nh * _HP), lambda w: (w, 0, 0)),
+            pl.BlockSpec((_HP, kh * kh), lambda w: (0, 0)),
+            pl.BlockSpec((_HP, kw * kw), lambda w: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, N, nh * _HP), lambda w: (w, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, nh * _HP), qkvp.dtype),
+    )(qkvp, rhf.astype(qkvp.dtype), rwf.astype(qkvp.dtype))
+
+
+def _vit_window_packed_fwd(qkvp, rhf, rwf, nh, hd, kh, kw):
+    return (vit_window_attention_packed(qkvp, rhf, rwf, nh, hd, kh, kw),
+            (qkvp, rhf, rwf))
+
+
+def _vit_window_packed_bwd(nh, hd, kh, kw, res, g):
+    qkvp, rhf, rwf = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: _window_packed_xla(a, b, c, nh, hd, kh, kw),
+        qkvp, rhf, rwf)
+    return vjp(g)
+
+
+vit_window_attention_packed.defvjp(_vit_window_packed_fwd,
+                                   _vit_window_packed_bwd)
