@@ -332,15 +332,23 @@ def internlm2_prefill(params: dict, cfg: InternLM2Config,
 
 
 def internlm2_decode_step(params: dict, cfg: InternLM2Config,
-                          token_embeds: Array, cache: KVCache
+                          token_embeds: Array, cache: KVCache,
+                          attend_len: Optional[int] = None
                           ) -> Tuple[Array, KVCache]:
     """One decode step: token_embeds [B, 1, H] -> (logits [B, V], cache).
 
     The new token is written at slot cache.index for every row; its position
     id is the per-row count of valid tokens (correct under left-padding).
+
+    attend_len (static): attention reads only cache slots [0, attend_len)
+    — the caller guarantees index < attend_len. As in decode_step_multi,
+    the layer scan consumes the cache WINDOW as xs and emits only each
+    layer's new [B, n_kv, hd] entry; threading the full cache through
+    xs/ys cost ~2x the window traffic regardless of the window.
     """
     B = token_embeds.shape[0]
     max_len = cache.k.shape[2]
+    W = max_len if attend_len is None else min(attend_len, max_len)
     position_ids = jnp.sum(cache.mask, axis=-1, keepdims=True)  # [B, 1]
     cos, sin = rope_cos_sin(cfg, position_ids, ntk_seq_len=max_len)
 
@@ -349,21 +357,36 @@ def internlm2_decode_step(params: dict, cfg: InternLM2Config,
         cache.mask, jnp.ones((B, 1), jnp.int32), slot, axis=1)
     # attend to all valid cache slots incl. the new token (no causal row
     # constraint needed: one query at the end of the sequence)
-    mask = jnp.where(new_mask[:, None, :].astype(bool), 0.0, NEG_INF)
+    mask = jnp.where(new_mask[:, None, :W].astype(bool), 0.0, NEG_INF)
 
     x = token_embeds
 
     def body(carry, xs):
         x = carry
-        lp, kc, vc = xs
-        x_out, kc, vc = _layer_body(cfg, x, lp, cos, sin, mask,
-                                    k_cache=kc, v_cache=vc, write_index=slot)
-        return x_out, (kc, vc)
+        lp, kc, vc = xs                      # [B, W, n_kv, hd] window
+        h = L.rms_norm(lp["attention_norm"], x, eps=cfg.rms_norm_eps)
+        qkv = L.linear(lp["wqkv"], h)
+        q, k, v = _split_wqkv(qkv, cfg)
+        q, k = apply_rope(q, k, cos, sin)
+        k1 = k.astype(kc.dtype)              # [B, 1, n_kv, hd]
+        v1 = v.astype(vc.dtype)
+        kc = jax.lax.dynamic_update_slice_in_dim(kc, k1, slot, axis=1)
+        vc = jax.lax.dynamic_update_slice_in_dim(vc, v1, slot, axis=1)
+        attn = gqa_attention(q, kc.astype(q.dtype), vc.astype(q.dtype),
+                             mask, cfg)
+        x = x + L.linear(lp["wo"], attn.reshape(B, 1, cfg.hidden_size))
+        h = L.rms_norm(lp["ffn_norm"], x, eps=cfg.rms_norm_eps)
+        x = x + L.swiglu(lp, h)
+        return x, (k1[:, 0], v1[:, 0])
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"],
-                                               cache.k, cache.v))
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (params["layers"], cache.k[:, :, :W], cache.v[:, :, :W]))
     last_hidden = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
     logits = L.linear(params["output"], last_hidden)[:, 0, :]
+    new_k = jax.lax.dynamic_update_slice_in_dim(
+        cache.k, k_new[:, :, None], slot, axis=2)
+    new_v = jax.lax.dynamic_update_slice_in_dim(
+        cache.v, v_new[:, :, None], slot, axis=2)
     return logits, KVCache(k=new_k, v=new_v, mask=new_mask, index=slot + 1)
 
 
