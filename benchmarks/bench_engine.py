@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--image", action="store_true",
                     help="image captions (1024 vision tokens per prompt)")
     ap.add_argument("--max-batch", type=int, default=4)
+    ap.add_argument("--quant", choices=["int8"], default=None)
     args = ap.parse_args()
 
     from ullsam_tpu.utils.cache import enable_compilation_cache
@@ -46,7 +47,7 @@ def main():
                            jnp.bfloat16)
     tk = load_tokenizer(TOKENIZER_DIR)
     eng = GenerationEngine(params, cfg, tk, max_batch=args.max_batch,
-                           max_len=2560)
+                           max_len=2560, quant=args.quant)
 
     rng = np.random.RandomState(0)
     img = (rng.rand(1, 1024, 1024, 3) * 255).astype(np.uint8)
@@ -68,7 +69,8 @@ def main():
     dt = time.perf_counter() - t0
     total = args.n * args.new  # random weights never emit EOS early
     print(f"{args.n} concurrent {'image' if args.image else 'text'} "
-          f"captions x {args.new} tokens (max_batch={args.max_batch}): "
+          f"captions x {args.new} tokens (max_batch={args.max_batch}"
+          f"{', ' + args.quant if args.quant else ''}): "
           f"{dt:.2f}s -> {total/dt:.1f} tok/s aggregate")
     eng.shutdown()
 

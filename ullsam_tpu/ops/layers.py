@@ -47,6 +47,18 @@ def linear_init(key, in_dim: int, out_dim: int, use_bias: bool = True,
 
 
 def linear(params: dict, x: Array, *, dtype=None) -> Array:
+    if "qweight" in params:
+        # weight-only int8 (W8A16): the int8 weight converts to the
+        # activation dtype inside the matmul's operand stream (XLA keeps
+        # the HBM read at 1 byte/weight) and the per-output-channel scale
+        # applies on the f32 accumulator — exact w.r.t. the quantized
+        # weights. See models/internlm2/quant.py.
+        y = jnp.dot(x, params["qweight"].astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        y = y * params["qscale"].astype(jnp.float32)
+        if "bias" in params:
+            y = y + params["bias"].astype(jnp.float32)
+        return y.astype(x.dtype)
     kernel = params["kernel"]
     if dtype is not None:
         x = x.astype(dtype)

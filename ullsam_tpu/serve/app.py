@@ -276,7 +276,8 @@ def build_app(args) -> AppServer:
         from ullsam_tpu.serve.engine import GenerationEngine
         engine = GenerationEngine(params, cfg, tokenizer,
                                   max_batch=args.engine_batch,
-                                  max_len=args.max_len)
+                                  max_len=args.max_len,
+                                  quant=args.quant)
     app = AppServer(params, cfg, tokenizer, engine=engine)
     app.mode = args.mode
     if getattr(args, "warmup", False):
@@ -315,6 +316,9 @@ def main(argv=None):
     p.add_argument("--engine", action="store_true",
                    help="continuous-batching caption engine")
     p.add_argument("--engine_batch", type=int, default=4)
+    p.add_argument("--quant", choices=["int8"], default=None,
+                   help="weight-only int8 LLM for the caption engine "
+                        "(2x decode throughput; serving only)")
     p.add_argument("--max_len", type=int, default=2560)
     p.add_argument("--warmup", action="store_true",
                    help="compile the serving paths at boot")

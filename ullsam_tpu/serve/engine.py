@@ -131,7 +131,16 @@ class GenerationEngine:
                  max_batch: int = 4, max_len: int = 2560,
                  gen: Optional[GenerationConfig] = None,
                  cache_dtype=jnp.bfloat16, seed: int = 0,
-                 steps_per_dispatch: int = 8):
+                 steps_per_dispatch: int = 8,
+                 quant: Optional[str] = None):
+        if quant == "int8":
+            # weight-only int8 LLM: decode is weight-bandwidth bound, the
+            # int8 stream doubles decode throughput (quant.py). Serving
+            # only — the quantized tree is not differentiable.
+            from ullsam_tpu.models.internlm2.quant import quantize_llm_int8
+            params = {**params, "llm": quantize_llm_int8(params["llm"])}
+        elif quant is not None:
+            raise ValueError(f"unknown quant mode {quant!r}")
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
