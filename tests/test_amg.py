@@ -147,3 +147,40 @@ def test_predictor_end_to_end():
                             point_labels=np.asarray([1]),
                             mask_input=low[:, :1], multimask_output=False)
     assert m3.shape == (1, 1, 48, 56)
+
+
+def test_amg_sharded_sweep_matches_per_image():
+    """Image-parallel AMG over the 8-device CPU mesh reproduces the
+    single-image sweep exactly for every shard (SURVEY §2.10 inference
+    data parallelism)."""
+    from jax.sharding import Mesh
+    from ullsam_tpu.models.sam import sam as S
+
+    params = S.sam_init(jax.random.PRNGKey(0), TINY_SAM)
+    rng = np.random.RandomState(0)
+    D = len(jax.devices())
+    images = (rng.rand(D, 48, 48, 3) * 255).astype(np.uint8)
+    pts = A.build_point_grid(4) * 48
+    from ullsam_tpu.inference.transforms import ResizeLongestSide
+    tr = ResizeLongestSide(TINY_SAM.vit.img_size)
+    in_pts = tr.apply_coords(pts, (48, 48)).astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    out = A.amg_sharded_sweep(
+        params, TINY_SAM, jnp.asarray(images), jnp.asarray(in_pts), mesh,
+        points_per_batch=8, max_out=16,
+        input_hw=(TINY_SAM.vit.img_size, TINY_SAM.vit.img_size),
+        out_hw=(48, 48), compute_dtype=jnp.float32)
+
+    for d in range(D):
+        ref = A._amg_device_sweep(
+            params, TINY_SAM, jnp.asarray(images[d:d + 1]),
+            jnp.asarray(in_pts), points_per_batch=8, max_out=16,
+            pred_iou_thresh=0.0, stability_thresh=0.0,
+            stability_offset=1.0, box_nms_thresh=1.0,
+            input_hw=(TINY_SAM.vit.img_size, TINY_SAM.vit.img_size),
+            out_hw=(48, 48), n_real=len(in_pts), compute_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(out["masks"][d]),
+                                      np.asarray(ref["masks"]))
+        np.testing.assert_allclose(np.asarray(out["iou"][d]),
+                                   np.asarray(ref["iou"]), atol=1e-5)

@@ -840,3 +840,60 @@ def bench_amg(points_per_side: int = 32, iters: int = 3,
               variant: str = "vit_b") -> float:
     """masks/sec for the deterministic full AMG sweep (bench.py headline)."""
     return bench_amg_stats(points_per_side, iters, variant)["masks_per_sec"]
+
+
+# ---------------------------------------------------------------------------
+# multi-chip AMG (data-parallel over images)
+# ---------------------------------------------------------------------------
+
+
+def amg_sharded_sweep(params, cfg: SamConfig, images, points, mesh, *,
+                      points_per_batch: int = 256, max_out: int = 256,
+                      pred_iou_thresh: float = 0.0,
+                      stability_thresh: float = 0.0,
+                      stability_score_offset: float = 1.0,
+                      box_nms_thresh: float = 1.0,
+                      input_hw: Tuple[int, int] = None,
+                      out_hw: Tuple[int, int] = None,
+                      compute_dtype=jnp.bfloat16):
+    """Image-parallel AMG over a device mesh (SURVEY §2.10 inference DP).
+
+    images: [D, H, W, 3] raw uint8/float, one image per device along the
+    mesh's 'data' axis; points: [N, 2] shared prompt grid (same-size
+    images). Each device runs the full single-dispatch `_amg_device_sweep`
+    on its image — no cross-device communication at all (masks stay
+    device-local, sharded along 'data'). Returns the per-image sweep dict
+    stacked on a leading sharded axis.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    D, H, W, _ = images.shape
+    n_real = points.shape[0]
+    n_pad = -n_real % points_per_batch
+    if n_pad:
+        points = jnp.concatenate(
+            [points, jnp.zeros((n_pad, 2), points.dtype)])
+    input_hw = input_hw or (cfg.vit.img_size, cfg.vit.img_size)
+    out_hw = out_hw or (H, W)
+
+    def one(params, image, pts):
+        return _amg_device_sweep(
+            params, cfg, image, pts,
+            points_per_batch=points_per_batch, max_out=max_out,
+            pred_iou_thresh=pred_iou_thresh,
+            stability_thresh=stability_thresh,
+            stability_offset=stability_score_offset,
+            box_nms_thresh=box_nms_thresh,
+            input_hw=input_hw, out_hw=out_hw, n_real=n_real,
+            compute_dtype=compute_dtype)
+
+    fn = shard_map(one, mesh=mesh,
+                   in_specs=(P(), P("data"), P()),
+                   out_specs=P("data"),
+                   check_rep=False)
+    out = jax.jit(fn)(params, images, points)
+    # per-device results concatenate along axis 0; restore [D, ...] leaves
+    return jax.tree.map(lambda a: a.reshape(D, -1, *a.shape[1:])
+                        if a.shape[0] == D * max_out
+                        else a.reshape(D, *a.shape[1:]), out)
