@@ -184,3 +184,24 @@ def test_amg_sharded_sweep_matches_per_image():
                                       np.asarray(ref["masks"]))
         np.testing.assert_allclose(np.asarray(out["iou"][d]),
                                    np.asarray(ref["iou"]), atol=1e-5)
+
+
+def test_generate_dense_batch_matches_single():
+    """The pipelined batch API (bench path) returns the same masks/stats
+    as per-image generate_dense."""
+    params = S.sam_init(jax.random.PRNGKey(0), TINY_SAM)
+    rng = np.random.RandomState(1)
+    images = [(rng.rand(48, 48, 3) * 255).astype(np.uint8)
+              for _ in range(2)]
+    gen = A.AutomaticMaskGenerator(TINY_SAM, params, points_per_side=4,
+                                   points_per_batch=8,
+                                   pred_iou_thresh=0.0,
+                                   stability_score_thresh=0.0,
+                                   box_nms_thresh=1.0, max_masks=16)
+    batch = gen.generate_dense_batch(images)
+    for img, (masks_b, data_b) in zip(images, batch):
+        masks_s, data_s = gen.generate_dense(img)
+        np.testing.assert_array_equal(np.asarray(masks_b),
+                                      np.asarray(masks_s))
+        np.testing.assert_allclose(data_b["iou_preds"], data_s["iou_preds"],
+                                   atol=1e-6)
