@@ -696,6 +696,10 @@ class AutomaticMaskGenerator:
         per-image host sync. Single-crop configs only. Returns a list of
         (masks_on_device, MaskData)."""
         assert self.crop_n_layers == 0, "batch path is single-crop"
+        # NB: do NOT pre-upload all images before dispatching (measured
+        # 1638 -> 1232 masks/s): interleaved upload/dispatch overlaps the
+        # relay transfer with the previous image's sweep, while a bulk
+        # upload serializes ~30 ms/image ahead of the first sweep
         handles = []
         for image in images:
             orig_size = image.shape[:2]
