@@ -106,3 +106,45 @@ def test_fusion_packed_loss_masks_boundaries():
                            segment_ids=jnp.asarray(seg))
     assert np.isfinite(float(out["loss"]))
     assert out["logits"].shape == (1, S, CFG.vocab_size)
+
+
+def test_tp_sharded_decode_matches_replicated():
+    """Multi-chip SERVING: the continuous-batching decode step under a
+    ('data','model') mesh with Megatron-TP sharded LLM params + the KV
+    cache sharded over kv heads reproduces the single-device step (XLA
+    inserts all collectives)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ullsam_tpu.parallel.partitioning import create_mesh, shard_params
+
+    params = _params()
+    B, max_len = 2, 64
+    cache = M.init_cache(CFG, B, max_len)
+    rng = np.random.RandomState(0)
+    # fake a 10-token prefill state
+    k0 = rng.randn(*cache.k.shape).astype(np.float32) * 0.1
+    v0 = rng.randn(*cache.v.shape).astype(np.float32) * 0.1
+    mask = np.zeros((B, max_len), np.int32)
+    mask[:, :10] = 1
+    cache = M.KVCache(k=jnp.asarray(k0, cache.k.dtype),
+                      v=jnp.asarray(v0, cache.v.dtype),
+                      mask=jnp.asarray(mask), index=cache.index)
+    emb = jnp.asarray(rng.randn(B, 1, CFG.hidden_size) * 0.1, jnp.float32)
+    active = jnp.ones((B,), bool)
+
+    ref_logits, ref_cache = M.internlm2_decode_step_multi(
+        params, CFG, emb, cache, active)
+
+    mesh = create_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    p = shard_params({"llm": params}, mesh)["llm"]
+    kv_spec = NamedSharding(mesh, P(None, None, None, "model", None))
+    sc = M.KVCache(k=jax.device_put(cache.k, kv_spec),
+                   v=jax.device_put(cache.v, kv_spec),
+                   mask=jax.device_put(cache.mask, NamedSharding(mesh, P())),
+                   index=jax.device_put(cache.index,
+                                        NamedSharding(mesh, P())))
+    with jax.sharding.set_mesh(mesh):
+        step = jax.jit(lambda pp, e, c, a: M.internlm2_decode_step_multi(
+            pp, CFG, e, c, a))
+        logits, _ = step(p, emb, sc, active)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=2e-5, rtol=2e-5)
