@@ -189,6 +189,7 @@ def fusion_forward(
     output_dense_prompt: bool = False,
     stop_vision_gradient: bool = True,
     remat: bool = False,
+    remat_llm: Optional[bool] = None,
 ) -> dict:
     """One fused forward (reference forward, modeling_internvl_sam.py:106-224).
 
@@ -214,11 +215,16 @@ def fusion_forward(
     embeds = LLM.embed_tokens(params["llm"], input_ids)
     embeds = scatter_image_embeds(input_ids, embeds, vit_tokens,
                                   cfg.img_context_token_id)
+    # remat_llm defaults to remat; at b=1 with a FROZEN LLM the saved
+    # activations are small and rematerializing the 24-layer forward for
+    # the activation-gradient backward wastes ~30 ms/step — segment-mode
+    # training disables it (train/step.py)
     out = LLM.internlm2_forward(params["llm"], cfg.llm,
                                 inputs_embeds=embeds,
                                 attention_mask=attention_mask,
                                 segment_ids=segment_ids,
-                                remat=remat)
+                                remat=(remat if remat_llm is None
+                                       else remat_llm))
     result = {"logits": out["logits"], "image_embeddings": sam_feats}
 
     if labels is not None:

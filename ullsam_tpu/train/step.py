@@ -47,7 +47,13 @@ class TrainConfig:
         r".*rel_pos.*", r".*embed.*")
     use_llm_hidden_states: bool = True  # False = baseline ablation
     freeze_vision: bool = False         # True = train.py semantics
-    remat: bool = True                  # checkpoint LLM/ViT layers
+    remat: bool = True                  # checkpoint ViT layers
+    # checkpoint the LLM scan too; None follows `remat`. The segment mode
+    # trains THROUGH a frozen LLM (activation grads only): at small batch
+    # its saved activations fit easily and remat wastes a full 24-layer
+    # recompute (~30 ms/step measured), so seg_loss_fn passes False unless
+    # overridden.
+    remat_llm: "Optional[bool]" = None
 
 
 def _match_any(path: str, patterns) -> bool:
@@ -131,7 +137,9 @@ def seg_loss_fn(params, cfg: FusionConfig, tcfg: TrainConfig, batch: dict
         segment_ids=batch.get("segment_ids"),
         output_dense_prompt=(tcfg.use_llm_hidden_states
                              and tcfg.seg_weight != 0.0),
-        stop_vision_gradient=False, remat=tcfg.remat)
+        stop_vision_gradient=False, remat=tcfg.remat,
+        remat_llm=(tcfg.remat_llm if tcfg.remat_llm is not None
+                   else (tcfg.remat if tcfg.seg_weight == 0.0 else False)))
 
     if tcfg.seg_weight == 0.0:
         # pretrain/sft modes: pure language CE, no mask decode
