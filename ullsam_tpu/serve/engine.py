@@ -404,7 +404,8 @@ class GenerationEngine:
                 emitted_prev, rows, n_prev = inflight.popleft()
                 em = np.array(emitted_prev)  # the one host sync per loop
                 for slot, req in rows:
-                    if self.slots[slot] is not req or                             not self.slot_active[slot]:
+                    if (self.slots[slot] is not req
+                            or not self.slot_active[slot]):
                         continue  # finished/re-admitted since dispatch
                     done = False
                     for j in range(n_prev):
