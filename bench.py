@@ -72,7 +72,8 @@ def main():
     extra = {}
     try:
         from ullsam_tpu.inference.amg import bench_amg_stats  # noqa: F401
-        det = bench_amg_stats(variant="vit_h")
+        # 6 images: relay-state variance on 3-image runs was ~15%
+        det = bench_amg_stats(variant="vit_h", iters=6)
         value = det["masks_per_sec"]
         metric, unit = "amg_masks_per_sec_vith", "masks/s/chip"
         # realistic production config (upstream defaults, SURVEY §2.13):
