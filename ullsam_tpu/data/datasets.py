@@ -295,11 +295,28 @@ def packed_batch_iterator_sharded(dataset, rows_per_batch: int,
     order = order[process_index::process_count]
 
     rows, cur, cur_len, dropped = [], [], 0, 0
-    for i in order:
-        e = dataset.example(int(i))
+    pending = []  # deferred samples that overflowed a partially-filled row
+    idx_iter = iter(order)
+    while True:
+        # A pending sample fits max_length alone, so it's always safe to
+        # start a fresh row with; retry pending first whenever cur is empty.
+        if pending and not cur:
+            e = pending.pop(0)
+        else:
+            i = next(idx_iter, None)
+            if i is None:
+                if pending and not cur:
+                    continue  # drain remaining pending into fresh rows
+                break
+            e = dataset.example(int(i))
         ln = int(e["attention_mask"].sum())
+        if ln > max_length:
+            dropped += 1  # genuinely oversized: can never fit any row
+            continue
         if cur_len + ln > max_length:
-            dropped += 1
+            # Doesn't fit the current partially-filled row — defer it for
+            # a fresh row instead of dropping it.
+            pending.append(e)
             continue
         cur.append(e)
         cur_len += ln

@@ -72,7 +72,10 @@ def hungarian_match(iou: np.ndarray, threshold: float):
         from scipy.optimize import linear_sum_assignment
     except ImportError:  # pragma: no cover
         return greedy_match(iou, threshold)
-    rows, cols = linear_sum_assignment(-iou)
+    # Zero sub-threshold entries first so the assignment maximizes the
+    # COUNT of above-threshold matches (raw -iou maximizes total IoU,
+    # which can trade two threshold-clearing matches for one big one).
+    rows, cols = linear_sum_assignment(-np.where(iou >= threshold, iou, 0.0))
     matched = [iou[i, j] for i, j in zip(rows, cols)
                if iou[i, j] >= threshold]
     tp = len(matched)

@@ -870,7 +870,7 @@ def amg_sharded_sweep(params, cfg: SamConfig, images, points, mesh, *,
     stacked on a leading sharded axis.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     D, H, W, _ = images.shape
     n_real = points.shape[0]

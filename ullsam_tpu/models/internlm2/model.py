@@ -235,7 +235,8 @@ def internlm2_forward(
     # 24-layer fwd measured ~146 TFLOP/s on v5e); the flash kernel wins
     # once the S^2 logits stop fitting in fused scratch — see the measured
     # crossover sweep in docs/BENCHMARKS.md (flash wins from S=2048 up).
-    use_flash = (jax.default_backend() == "tpu" and S >= 2048)
+    from ullsam_tpu.ops.pallas import backend_ok
+    use_flash = (backend_ok() and S >= 2048)
     seg = (segment_ids.astype(jnp.int32) if segment_ids is not None
            else attention_mask.astype(jnp.int32))
     if use_flash:

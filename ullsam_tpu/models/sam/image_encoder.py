@@ -114,14 +114,16 @@ def window_unpartition(windows: Array, window_size: int,
 
 def _use_flash(cfg: ViTConfig, n_tokens: int) -> bool:
     """Use the Pallas kernel for large global-attention grids on TPU."""
-    if jax.default_backend() != "tpu":
+    from ullsam_tpu.ops.pallas import backend_ok
+    if not backend_ok():
         return False
     return n_tokens >= 1024 and n_tokens % 512 == 0
 
 
 def _use_window_kernel(cfg: ViTConfig, H: int, W: int) -> bool:
     """Whole-window Pallas attention for small windowed grids on TPU."""
-    if jax.default_backend() != "tpu":
+    from ullsam_tpu.ops.pallas import backend_ok
+    if not backend_ok():
         return False
     return 4 <= H * W < 1024 and H <= 32 and W <= 32
 

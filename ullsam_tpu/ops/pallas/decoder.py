@@ -79,7 +79,8 @@ def _upscale_kernel(keys_ref, hbd_ref, w1_ref, b1_ref, lns_ref, lnb_ref,
 
 def supported(keys_shape, transformer_dim: int) -> bool:
     """Kernel engages for production shapes on a real TPU backend."""
-    if jax.default_backend() not in ("tpu", "axon"):
+    from ullsam_tpu.ops.pallas import backend_ok
+    if not backend_ok():
         return False
     B, N, C = keys_shape
     return (C == transformer_dim and C % 128 == 0 and N % 512 == 0
@@ -376,7 +377,8 @@ def twt_supported(C: int, Cd: int, heads: int, depth: int, T: int,
                   N: int) -> bool:
     """Fused two-way transformer engages for SAM production shapes on a
     real TPU backend (heads*16 must equal the 128-lane width)."""
-    if jax.default_backend() not in ("tpu", "axon"):
+    from ullsam_tpu.ops.pallas import backend_ok
+    if not backend_ok():
         return False
     return (heads * _TP == 128 and depth == 2 and T <= _TP
             and C % 128 == 0 and Cd % 128 == 0 and Cd // heads >= 8

@@ -617,6 +617,10 @@ def vit_window_attention_packed(qkvp: Array, rhf: Array, rwf: Array,
     Backward is the exact XLA-math vjp (windowed layers run under remat).
     """
     B, N, _ = qkvp.shape
+    # The in-kernel rel-pos fold (T/MH/MW masks built with % kw and // kw
+    # over a kh*kh table) is only correct for square windows; fail loudly
+    # rather than silently corrupting the bias (ADVICE r2).
+    assert kh == kw, f"packed window kernel requires square windows, got {kh}x{kw}"
     kernel = functools.partial(_vit_window_kernel, kh=kh, kw=kw, nh=nh,
                                scale=hd ** -0.5)
     return pl.pallas_call(
