@@ -73,21 +73,30 @@ def main():
     extra = {}
     try:
         from ullsam_tpu.inference.amg import bench_amg_stats  # noqa: F401
-        # 6 images: relay-state variance on 3-image runs was ~15%
-        det = bench_amg_stats(variant="vit_h", iters=6)
-        value = det["masks_per_sec"]
+        # median of 3 independent 6-image runs: relay-state variance on
+        # single runs was ~15%; the median of three 6-image sweeps holds
+        # consecutive driver runs within ~5% (round-2 verdict item 5)
+        runs = [bench_amg_stats(variant="vit_h", iters=6)["masks_per_sec"]
+                for _ in range(3)]
+        runs.sort()
+        value = runs[1]
         metric, unit = "amg_masks_per_sec_vith", "masks/s/chip"
         # realistic production config (upstream defaults, SURVEY §2.13):
-        # thresholds 0.88/0.95 + device NMS 0.7. Under random weights the
-        # committed-mask count is meaningless (the IoU head commits ~nothing
-        # and NMS collapses near-identical masks), so the honest realistic
-        # number is images swept per second.
+        # thresholds 0.88/0.95 + device NMS 0.7, run on closed-form
+        # CALIBRATED synthetic weights (inference/calibrate.py) so the
+        # IoU/stability filters and the NMS-survivor gather + selective
+        # upscale path operate on a realistic mask population instead of
+        # passing nothing (round-2 verdict item 4)
         real = bench_amg_stats(variant="vit_h", pred_iou_thresh=0.88,
                                stability_score_thresh=0.95,
-                               box_nms_thresh=0.7)
+                               box_nms_thresh=0.7, calibrated=True)
         extra = {
+            "headline_spread_pct": round(
+                100.0 * (runs[-1] - runs[0]) / max(runs[1], 1e-9), 1),
             "realistic_config_images_per_sec":
                 round(real["images_per_sec"], 3),
+            "realistic_config_masks_per_sec":
+                round(real["masks_per_sec"], 3),
             "realistic_config_committed_masks": real["committed_masks"],
             "vs_baseline_denominator":
                 "derived estimate (docs/BASELINE_DERIVATION.md)",

@@ -127,3 +127,39 @@ def test_export_full_decoder_roundtrip():
     np.testing.assert_allclose(np.asarray(up), np.asarray(rup), atol=1e-5)
     np.testing.assert_allclose(np.asarray(sc), np.asarray(rsc), atol=1e-5)
     np.testing.assert_allclose(np.asarray(low), np.asarray(rlow), atol=1e-5)
+
+
+def test_export_dynamic_size_one_artifact_two_sizes():
+    """ONE dynamic_size artifact serves multiple original sizes at runtime
+    (reference runtime orig_im_size tensor, onnx.py:76-90; round-2 verdict
+    item 8) and matches the per-size static artifacts exactly."""
+    from tests.test_amg import TINY_SAM
+    from ullsam_tpu.inference.export import (export_decoder,
+                                             load_exported_decoder,
+                                             make_onnx_decoder_fn)
+    from ullsam_tpu.models.sam import sam as S
+
+    params = S.sam_init(jax.random.PRNGKey(2), TINY_SAM)
+    blob = export_decoder(params, TINY_SAM, num_points=3, batch=2, full=True,
+                          return_single_mask=True, dynamic_size=True)
+    fn = load_exported_decoder(bytes(blob))
+
+    rs = np.random.RandomState(2)
+    emb = jnp.asarray(rs.randn(1, 8, 8, 16), jnp.float32)
+    coords = jnp.asarray(rs.rand(2, 3, 2) * 32, jnp.float32)
+    labels = jnp.asarray([[1, 0, -1], [1, 1, -1]], jnp.int32)
+    mask_in = jnp.asarray(rs.randn(2, 32, 32, 1), jnp.float32)
+    hm = jnp.asarray([1.0, 0.0], jnp.float32)
+
+    for orig in [(30, 50), (48, 25)]:
+        witness = jnp.zeros(orig, jnp.float32)
+        up, sc, low = fn(emb, coords, labels, mask_in, hm, witness)
+        assert up.shape == (2, 1) + orig
+        ref_fn = make_onnx_decoder_fn(TINY_SAM, return_single_mask=True,
+                                      orig_im_size=orig)
+        rup, rsc, rlow = ref_fn(params, emb, coords, labels, mask_in, hm)
+        np.testing.assert_allclose(np.asarray(up), np.asarray(rup),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(sc), np.asarray(rsc), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(low), np.asarray(rlow),
+                                   atol=1e-5)

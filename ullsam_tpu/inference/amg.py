@@ -510,6 +510,105 @@ def _amg_device_sweep(params, cfg: SamConfig, image, points,
     }
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "points_per_batch", "max_out", "pred_iou_thresh",
+                     "stability_thresh", "stability_offset",
+                     "box_nms_thresh", "input_hw", "crop_hw", "n_real",
+                     "compute_dtype"))
+def _amg_device_sweep_crops(params, cfg: SamConfig, crops, points,
+                            points_per_batch: int, max_out: int,
+                            pred_iou_thresh: float, stability_thresh: float,
+                            stability_offset: float, box_nms_thresh: float,
+                            input_hw: Tuple[int, int],
+                            crop_hw: Tuple[int, int], n_real: int,
+                            compute_dtype=jnp.float32):
+    """K EQUAL-SIZE crops swept in ONE dispatch (one trace): lax.map of the
+    single-crop sweep over the stacked crops. crops: [K, ch, cw, 3] raw.
+    Returns the per-crop sweep dicts stacked on a leading K axis (masks
+    [K, max_out, ch, cw])."""
+    def one(crop):
+        return _amg_device_sweep(
+            params, cfg, crop[None], points,
+            points_per_batch=points_per_batch, max_out=max_out,
+            pred_iou_thresh=pred_iou_thresh,
+            stability_thresh=stability_thresh,
+            stability_offset=stability_offset,
+            box_nms_thresh=box_nms_thresh, input_hw=input_hw,
+            out_hw=crop_hw, n_real=n_real, compute_dtype=compute_dtype)
+
+    return jax.lax.map(one, crops)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("orig_hw", "crop_hw", "crop_nms_thresh", "final_k",
+                     "scale_full", "scale_crop"))
+def _merge_crops_device(full_out, crops_out, crop_offsets, crop_areas,
+                        orig_hw: Tuple[int, int], crop_hw: Tuple[int, int],
+                        crop_nms_thresh: float, final_k: int,
+                        scale_full: Tuple[float, float],
+                        scale_crop: Tuple[float, float]):
+    """Cross-crop NMS + survivor gather + full-frame placement, on device
+    (round-2 verdict item 9: the host stitch/retrace multi-crop path).
+
+    full_out: the full-image sweep dict (masks [Mf, H, W]); crops_out: the
+    stacked crop sweep dict (masks [K, Mc, ch, cw]); crop_offsets [K, 2]
+    (x0, y0). Boxes are uncropped on device; NMS scores prefer smaller
+    crops (reference cross-crop semantics, utils/amg.py crop loop) with
+    predicted IoU as tie-break; survivors' masks are gathered from the two
+    pools and the crop ones placed at their offsets — no host round trip,
+    no per-crop retrace."""
+    H, W = orig_hw
+    Mf = full_out["valid"].shape[0]
+    K, Mc = crops_out["valid"].shape
+
+    # candidate boxes in the original frame
+    bf = full_out["boxes_low"] * jnp.asarray(
+        [scale_full[1], scale_full[0]] * 2, jnp.float32)
+    bc = crops_out["boxes_low"] * jnp.asarray(
+        [scale_crop[1], scale_crop[0]] * 2, jnp.float32)
+    off = crop_offsets.astype(jnp.float32)            # [K, 2] (x0, y0)
+    bc = bc + jnp.concatenate([off, off], -1)[:, None, :]
+
+    boxes = jnp.concatenate([bf, bc.reshape(K * Mc, 4)], axis=0)
+    valid = jnp.concatenate([full_out["valid"],
+                             crops_out["valid"].reshape(-1)])
+    iou = jnp.concatenate([full_out["iou"], crops_out["iou"].reshape(-1)])
+    stab = jnp.concatenate([full_out["stability"],
+                            crops_out["stability"].reshape(-1)])
+    area_full = float(H) * float(W)
+    pref = jnp.concatenate([
+        jnp.full((Mf,), 1.0 / (area_full + 1.0), jnp.float32),
+        jnp.repeat(1.0 / (crop_areas.astype(jnp.float32) + 1.0), Mc)])
+    scores = jnp.where(valid, pref + 1e-9 * iou, -jnp.inf)
+
+    idx, keep = _device_nms_topk(boxes, scores, crop_nms_thresh, final_k)
+
+    from_full = idx < Mf
+    slot_f = jnp.clip(idx, 0, Mf - 1)
+    ci = jnp.clip((idx - Mf) // Mc, 0, K - 1)
+    slot_c = jnp.clip(idx - Mf, 0, K * Mc - 1) % Mc
+
+    def build(i):
+        mf = full_out["masks"][slot_f[i]]
+        mc = crops_out["masks"][ci[i], slot_c[i]]
+        placed = jax.lax.dynamic_update_slice(
+            jnp.zeros((H, W), bool), mc,
+            (crop_offsets[ci[i], 1], crop_offsets[ci[i], 0]))
+        return jnp.where(from_full[i], mf, placed)
+
+    masks = jax.lax.map(build, jnp.arange(final_k))
+    masks = masks & keep[:, None, None]
+    return {
+        "masks": masks, "valid": keep,
+        "iou": jnp.take(iou, idx), "stability": jnp.take(stab, idx),
+        "boxes": jnp.take(boxes, idx, axis=0),
+        "from_full": from_full, "crop_index": jnp.where(from_full, -1, ci),
+        "areas": jnp.sum(masks, axis=(1, 2), dtype=jnp.int32),
+    }
+
+
 # ---------------------------------------------------------------------------
 # generator
 # ---------------------------------------------------------------------------
@@ -796,7 +895,8 @@ def bench_amg_stats(points_per_side: int = 32, iters: int = 3,
                     variant: str = "vit_b",
                     pred_iou_thresh: float = 0.0,
                     stability_score_thresh: float = 0.0,
-                    box_nms_thresh: float = 1.0) -> dict:
+                    box_nms_thresh: float = 1.0,
+                    calibrated: bool = False) -> dict:
     """Full-AMG-sweep throughput on synthetic images.
 
     Returns {masks_per_sec, images_per_sec, committed_masks}. The default
@@ -812,6 +912,11 @@ def bench_amg_stats(points_per_side: int = 32, iters: int = 3,
     from ullsam_tpu.models.sam import build_sam
 
     cfg, params = build_sam(variant)
+    if calibrated:
+        # closed-form calibration so the production thresholds commit a
+        # realistic mask population (see inference/calibrate.py)
+        from ullsam_tpu.inference.calibrate import calibrate_amg_weights
+        params = calibrate_amg_weights(params, cfg)
     rng = np.random.RandomState(0)
     image = (rng.rand(1024, 1024, 3) * 255).astype(np.uint8)
     gen = AutomaticMaskGenerator(
@@ -894,8 +999,7 @@ def amg_sharded_sweep(params, cfg: SamConfig, images, points, mesh, *,
 
     fn = shard_map(one, mesh=mesh,
                    in_specs=(P(), P("data"), P()),
-                   out_specs=P("data"),
-                   check_rep=False)
+                   out_specs=P("data"))
     out = jax.jit(fn)(params, images, points)
     # per-device results concatenate along axis 0; restore [D, ...] leaves
     return jax.tree.map(lambda a: a.reshape(D, -1, *a.shape[1:])

@@ -83,7 +83,8 @@ def make_onnx_decoder_fn(cfg: SamConfig, *,
                          return_single_mask: bool = False,
                          use_stability_score: bool = False,
                          return_extra_metrics: bool = False,
-                         orig_im_size: Optional[Tuple[int, int]] = None):
+                         orig_im_size: Optional[Tuple[int, int]] = None,
+                         dynamic_size: bool = False):
     """Functional ``SamOnnxModel.forward`` (onnx.py:107-144).
 
     Returns ``fn(params, embedding, point_coords, point_labels, mask_input,
@@ -103,7 +104,7 @@ def make_onnx_decoder_fn(cfg: SamConfig, *,
     thresh = cfg.mask_threshold
 
     def fn(params, embedding, point_coords, point_labels, mask_input,
-           has_mask_input):
+           has_mask_input, size_witness=None):
         pe_params = params["prompt_encoder"]
         sparse = PE.embed_points(pe_params, cfg.prompt_encoder,
                                  point_coords, point_labels)  # onnx.py:51-67
@@ -120,7 +121,15 @@ def make_onnx_decoder_fn(cfg: SamConfig, *,
             num_points = point_coords.shape[1]
             masks, scores = select_masks(masks, scores, num_points)
 
-        upscaled = mask_postprocessing(masks, img_size, size)
+        if dynamic_size:
+            # runtime original size (reference onnx.py:76-90 semantics):
+            # the witness tensor's SHAPE carries (oh, ow) — with
+            # jax.export symbolic dims one artifact serves every size
+            from ullsam_tpu.ops.resize import sam_postprocess_resize_dynamic
+            upscaled = sam_postprocess_resize_dynamic(
+                masks.astype(jnp.float32), img_size, size_witness)
+        else:
+            upscaled = mask_postprocessing(masks, img_size, size)
 
         if return_extra_metrics:  # onnx.py:137-142
             stability = calculate_stability_score(upscaled, thresh,
@@ -156,7 +165,8 @@ def export_decoder(params, cfg: SamConfig, num_points: int = 4,
                    return_single_mask: bool = False,
                    use_stability_score: bool = False,
                    return_extra_metrics: bool = False,
-                   orig_im_size: Optional[Tuple[int, int]] = None) -> bytes:
+                   orig_im_size: Optional[Tuple[int, int]] = None,
+                   dynamic_size: bool = False) -> bytes:
     """Serialize the prompt decoder to a portable StableHLO artifact.
 
     ``full=True`` exports the SamOnnxModel-equivalent signature (with mask
@@ -175,11 +185,19 @@ def export_decoder(params, cfg: SamConfig, num_points: int = 4,
             cfg, return_single_mask=return_single_mask,
             use_stability_score=use_stability_score,
             return_extra_metrics=return_extra_metrics,
-            orig_im_size=orig_im_size)
-        closed = lambda e, c, l, m, hm: fn(params, e, c, l, m, hm)  # noqa: E731
-        args = (emb, coords, labels,
-                jax.ShapeDtypeStruct((batch, 4 * h, 4 * w, 1), jnp.float32),
-                jax.ShapeDtypeStruct((batch,), jnp.float32))
+            orig_im_size=orig_im_size, dynamic_size=dynamic_size)
+        mask_in = jax.ShapeDtypeStruct((batch, 4 * h, 4 * w, 1), jnp.float32)
+        has_in = jax.ShapeDtypeStruct((batch,), jnp.float32)
+        if dynamic_size:
+            # one artifact, every original size: the witness input's
+            # symbolic (oh, ow) shape is the runtime size
+            oh, ow = jexport.symbolic_shape("oh, ow")
+            closed = lambda e, c, l, m, hm, sw: fn(params, e, c, l, m, hm, sw)  # noqa: E731
+            args = (emb, coords, labels, mask_in, has_in,
+                    jax.ShapeDtypeStruct((oh, ow), jnp.float32))
+        else:
+            closed = lambda e, c, l, m, hm: fn(params, e, c, l, m, hm)  # noqa: E731
+            args = (emb, coords, labels, mask_in, has_in)
     else:
         simple = make_decoder_fn(cfg, multimask_output)
         closed = lambda e, c, l: simple(params, e, c, l)  # noqa: E731

@@ -247,11 +247,31 @@ def _block_windowed_prepartitioned(params: dict, x: Array, cfg: ViTConfig,
                                                        eps=cfg.ln_eps))
 
 
+def _patch_embed(params: dict, x: Array, cfg: ViTConfig) -> Array:
+    """Non-overlapping k=s patch embed as reshape+matmul.
+
+    XLA lowers the k16 s16 conv (image_encoder.py:364-395) to a ~3.5 ms
+    convolution on a 1024^2 image; the same op as an im2col reshape +
+    one [B*g*g, k*k*3] x [k*k*3, C] matmul runs at matmul speed (the
+    patch pixels are contiguous, so im2col is a pure transpose).
+    """
+    p = cfg.patch_size
+    B, H, W, Cin = x.shape
+    g_h, g_w = H // p, W // p
+    k = params["patch_embed"]["kernel"]  # HWIO [p, p, Cin, C]
+    cols = x.reshape(B, g_h, p, g_w, p, Cin).transpose(0, 1, 3, 2, 4, 5)
+    cols = cols.reshape(B, g_h, g_w, p * p * Cin)
+    y = jnp.dot(cols, k.reshape(p * p * Cin, -1).astype(x.dtype),
+                preferred_element_type=jnp.float32)
+    if "bias" in params["patch_embed"]:
+        y = y + params["patch_embed"]["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def image_encoder_apply(params: dict, x: Array, cfg: ViTConfig,
                         remat: bool = False) -> Array:
     """x: [B, img, img, 3] NHWC -> [B, grid, grid, out_chans] NHWC."""
-    x = L.conv2d(params["patch_embed"], x,
-                 stride=(cfg.patch_size, cfg.patch_size))  # [B, g, g, C]
+    x = _patch_embed(params, x, cfg)  # [B, g, g, C]
     if cfg.use_abs_pos:
         x = x + params["pos_embed"].astype(x.dtype)
 

@@ -184,7 +184,17 @@ def rms_norm(params: dict, x: Array, *, eps: float = 1e-5) -> Array:
 
 
 def gelu(x: Array) -> Array:
-    """Exact (erf) GELU — torch nn.GELU() default, used throughout SAM."""
+    """GELU matching torch nn.GELU (exact erf form) in fp32.
+
+    In bf16 the tanh approximation is used instead: its max deviation
+    (~1.5e-3 abs) is below bf16 resolution at typical activation
+    magnitudes, while the exact-erf rational-polynomial tail measurably
+    costs MXU overlap (ViT-H MLP 1.33 -> 1.05 ms/layer, see
+    benchmarks/profile_encode.py) — and it matches the Pallas decoder
+    kernel, which is tanh-form on TPU (Mosaic has no erf).
+    """
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 
 

@@ -102,8 +102,8 @@ def _vit_attention_xla(q: Array, k: Array, v: Array, rel_h: Array,
 
 
 def _vit_flash_impl(q: Array, k: Array, v: Array, rel_h: Array,
-                    rel_w: Array, block_q: int = 512,
-                    block_k: int = 512):
+                    rel_w: Array, block_q: int = 1024,
+                    block_k: int = 1024):
     """Flash attention with decomposed rel-pos bias.
 
     q, k, v: [B, N, D] (B = batch*heads folded), N = kh*kw grid tokens.
@@ -154,8 +154,8 @@ def _vit_flash_impl(q: Array, k: Array, v: Array, rel_h: Array,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def vit_flash_attention(q: Array, k: Array, v: Array, rel_h: Array,
-                        rel_w: Array, block_q: int = 512,
-                        block_k: int = 512) -> Array:
+                        rel_w: Array, block_q: int = 1024,
+                        block_k: int = 1024) -> Array:
     """Public entry: flash forward; custom fused backward (below)."""
     return _vit_flash_impl(q, k, v, rel_h, rel_w, block_q, block_k)[0]
 

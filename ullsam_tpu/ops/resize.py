@@ -79,6 +79,53 @@ def sam_postprocess_resize(masks: Array, model_size: int,
     return resize2d(masks, mh, mw, compute_dtype=compute_dtype)
 
 
+def _bilinear_matrix_traced(out_dim, in_size: int, crop) -> Array:
+    """In-graph [out_dim, in_size] interpolation matrix.
+
+    ``out_dim`` may be a SYMBOLIC dimension (jax.export shape
+    polymorphism) and ``crop`` a traced float scalar: samples are drawn
+    from the first ``crop`` input rows (the SAM pad-crop), so no
+    shape-dependent slicing is needed. The tent-weight form
+    max(0, 1 - |r - src|) reproduces the (1-frac, frac) bilinear pair
+    exactly, with edge clamping via src clipping."""
+    i = jnp.arange(out_dim, dtype=jnp.float32)
+    out_val = jnp.asarray(out_dim, jnp.float32)
+    src = (i + 0.5) * (crop / out_val) - 0.5
+    src = jnp.clip(src, 0.0, crop - 1.0)
+    r = jnp.arange(in_size, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(r[None, :] - src[:, None]))
+
+
+def sam_postprocess_resize_dynamic(masks: Array, model_size: int,
+                                   witness: Array,
+                                   compute_dtype=jnp.float32) -> Array:
+    """SAM postprocess chain with the ORIGINAL size given at runtime.
+
+    ``witness`` is a [oh, ow] tensor whose SHAPE carries the original
+    image size (content ignored) — the jax.export analog of the
+    reference's runtime ``orig_im_size`` tensor (onnx.py:76-90). The
+    low->model_size resize is the static matrix; the crop-to-prepadded +
+    resize-to-original stage is built in-graph so one exported artifact
+    serves every size.
+    """
+    low_h, low_w = masks.shape[-2], masks.shape[-1]
+    oh, ow = witness.shape[-2], witness.shape[-1]
+    oh_f = jnp.asarray(oh, jnp.float32)
+    ow_f = jnp.asarray(ow, jnp.float32)
+    long_side = jnp.maximum(oh_f, ow_f)
+    # get_preprocess_shape: int(model * dim / long + 0.5) (transforms.py:93-102)
+    crop_h = jnp.floor(model_size * oh_f / long_side + 0.5)
+    crop_w = jnp.floor(model_size * ow_f / long_side + 0.5)
+
+    m1h = jnp.asarray(_bilinear_matrix(model_size, low_h), compute_dtype)
+    m1w = jnp.asarray(_bilinear_matrix(model_size, low_w), compute_dtype)
+    m2h = _bilinear_matrix_traced(oh, model_size, crop_h).astype(compute_dtype)
+    m2w = _bilinear_matrix_traced(ow, model_size, crop_w).astype(compute_dtype)
+    mh = jnp.dot(m2h, m1h, preferred_element_type=jnp.float32)
+    mw = jnp.dot(m2w, m1w, preferred_element_type=jnp.float32)
+    return resize2d(masks, mh, mw, compute_dtype=compute_dtype)
+
+
 def bilinear_resize_nhwc(x: Array, out_h: int, out_w: int,
                          compute_dtype=jnp.float32) -> Array:
     """[B, H, W, C] -> [B, out_h, out_w, C] bilinear (torch semantics)."""

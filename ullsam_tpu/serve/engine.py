@@ -132,7 +132,15 @@ class GenerationEngine:
                  gen: Optional[GenerationConfig] = None,
                  cache_dtype=jnp.bfloat16, seed: int = 0,
                  steps_per_dispatch: int = 8,
-                 quant: Optional[str] = None):
+                 quant: Optional[str] = None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'model' axis — the
+        engine then runs Megatron-TP sharded over it: params sharded by
+        parallel.partitioning rules, the KV cache sharded over kv heads,
+        every jitted step SPMD with XLA-inserted collectives (SURVEY
+        §2.10; the step-level equivalence is pinned in
+        tests/test_packed.py::test_tp_sharded_decode_matches_replicated,
+        this wires a whole live engine over the mesh)."""
         if quant == "int8":
             # weight-only int8 LLM: decode is weight-bandwidth bound, the
             # int8 stream doubles decode throughput (quant.py). Serving
@@ -151,8 +159,20 @@ class GenerationEngine:
         base = gen or GenerationConfig(max_new_tokens=256)
         self.gen = dataclasses.replace(base, eos_token_id=eos,
                                        pad_token_id=tokenizer.pad_token_id)
+        self.mesh = mesh
         self.cache = LLM.init_cache(cfg.llm, max_batch, max_len,
                                     dtype=cache_dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ullsam_tpu.parallel.partitioning import shard_params
+            self.params = shard_params(self.params, mesh)
+            kv = NamedSharding(mesh, P(None, None, None, "model", None))
+            rep = NamedSharding(mesh, P())
+            self.cache = LLM.KVCache(
+                k=jax.device_put(self.cache.k, kv),
+                v=jax.device_put(self.cache.v, kv),
+                mask=jax.device_put(self.cache.mask, rep),
+                index=jax.device_put(self.cache.index, rep))
         self.rng = jax.random.PRNGKey(seed)
         self.slots: List[Optional[_Request]] = [None] * max_batch
         self.slot_budget = [0] * max_batch
@@ -265,6 +285,15 @@ class GenerationEngine:
               else jnp.asarray(req.pixel_values))
         row_cache = LLM.init_cache(self.cfg.llm, 1, self.max_len,
                                    dtype=self.cache.k.dtype)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            kv = NamedSharding(self.mesh, P(None, None, None, "model", None))
+            rep = NamedSharding(self.mesh, P())
+            row_cache = LLM.KVCache(
+                k=jax.device_put(row_cache.k, kv),
+                v=jax.device_put(row_cache.v, kv),
+                mask=jax.device_put(row_cache.mask, rep),
+                index=jax.device_put(row_cache.index, rep))
         logits, row_cache = _prefill_row(self.params, self.cfg, ids, mask,
                                          pv, row_cache)
         self.rng, srng = jax.random.split(self.rng)
