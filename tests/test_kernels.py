@@ -215,3 +215,57 @@ def test_vit_window_attention_packed_matches_xla():
     gref = jax.grad(lambda *a: jnp.sum(
         FA._window_packed_xla(*a, nh, hd, kh, kw) ** 2))(*args)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=1e-3)
+
+
+def test_fused_upscale_stats_kernel_matches_xla():
+    """The stats-emitting upscale kernel's hi/lo counts and occupancy
+    bitmaps (interpret mode) match the XLA stability/box chain on the
+    same logits (round-2 verdict item 2: the stats chain re-read the
+    cols tensor several times per chunk)."""
+    from ullsam_tpu.ops import layers as L
+    from ullsam_tpu.models.sam.mask_decoder import (_upscale_hypernet_cols,
+                                                    _upscale_weight_views)
+    from ullsam_tpu.ops.pallas import decoder as PD
+    from ullsam_tpu.inference.amg import (mask_to_box_cols,
+                                          stability_score_cols)
+
+    C, B, N, W, nm = 256, 2, 1024, 32, 3   # H = 32, W = 32 grid
+    up = {"convt1": L.conv_init(jax.random.PRNGKey(1), C, C // 4, (2, 2)),
+          "ln": L.layer_norm_init(C // 4),
+          "convt2": L.conv_init(jax.random.PRNGKey(2), C // 4, C // 8,
+                                (2, 2))}
+    keys = jax.random.normal(jax.random.PRNGKey(0), (B, N, C),
+                             jnp.float32).astype(jnp.bfloat16)
+    hyper = jax.random.normal(jax.random.PRNGKey(3), (B, nm, C // 8),
+                              jnp.float32) * 0.1
+    w1c, b1t, lns, lnb, w2bd, b2t = _upscale_weight_views(up)
+    thr, off = 0.0, 1.0
+    cols, counts, rowany, colany = PD.fused_upscale_hypernet_stats(
+        keys, hyper, w1c, b1t, lns, lnb, w2bd, b2t, W=W, nm=nm,
+        thr=thr, off=off, block_n=512, interpret=True)
+
+    H = N // W
+    ref_cols = _upscale_hypernet_cols(up, hyper, keys)
+    d = np.abs(np.asarray(cols, np.float32) - np.asarray(ref_cols,
+                                                         np.float32))
+    assert d.max() <= 0.02 * np.abs(np.asarray(ref_cols)).max()
+
+    # stats computed from the KERNEL's own cols (bit-identical logits)
+    stab_ref = np.asarray(stability_score_cols(cols, nm, thr, off))
+    hi = np.asarray(counts)[:, 0, :nm]
+    lo = np.asarray(counts)[:, 1, :nm]
+    np.testing.assert_allclose(hi / np.maximum(lo, 1.0), stab_ref,
+                               atol=1e-6)
+    box_ref = np.asarray(mask_to_box_cols(cols > thr, nm, H, W))
+    any_row = np.asarray(rowany)[:, :nm, :] > 0
+    any_col = np.asarray(colany)[:, :nm, :] > 0
+    rows = np.arange(4 * H)
+    cols_i = np.arange(4 * W)
+    top = np.min(np.where(any_row, rows, 4 * H), axis=-1)
+    bottom = np.max(np.where(any_row, rows, -1), axis=-1)
+    left = np.min(np.where(any_col, cols_i, 4 * W), axis=-1)
+    right = np.max(np.where(any_col, cols_i, -1), axis=-1)
+    empty = ~any_row.any(axis=-1)
+    box = np.stack([left, top, right, bottom], axis=-1).astype(np.float32)
+    box[empty] = 0
+    np.testing.assert_array_equal(box, box_ref)

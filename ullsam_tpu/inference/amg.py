@@ -462,16 +462,22 @@ def _amg_device_sweep(params, cfg: SamConfig, image, points,
     def do_chunk(pts):
         labels = jnp.ones((points_per_batch, 1), jnp.int32)
         # BLOCK-COLUMN decode (no spatial transpose; fused Pallas
-        # upscale+hypernet on TPU) — identical values to decode_masks
-        cols, iou = S.decode_masks_cols(params, cfg, emb,
-                                        points=(pts[:, None, :], labels),
-                                        multimask_output=True)
+        # upscale+hypernet on TPU) — identical values to decode_masks.
+        # On TPU the kernel also emits the stability counts and box
+        # bitmaps in-VMEM (the XLA stats chain re-read the ~100 MB cols
+        # tensor several times per chunk).
+        cols, iou, st = S.decode_masks_cols_stats(
+            params, cfg, emb, points=(pts[:, None, :], labels),
+            multimask_output=True, stability_offset=stability_offset)
         M = iou.shape[1]
-        stability = stability_score_cols(cols, M, cfg.mask_threshold,
-                                         stability_offset).reshape(-1)
-        boxes = mask_to_box_cols(cols > cfg.mask_threshold, M, H, W)
-        return (cols.astype(jnp.bfloat16), iou.reshape(-1), stability,
-                boxes.reshape(-1, 4))
+        if st is not None:
+            stability, boxes = st
+        else:
+            stability = stability_score_cols(cols, M, cfg.mask_threshold,
+                                             stability_offset)
+            boxes = mask_to_box_cols(cols > cfg.mask_threshold, M, H, W)
+        return (cols.astype(jnp.bfloat16), iou.reshape(-1),
+                stability.reshape(-1), boxes.reshape(-1, 4))
 
     cols, iou, stability, boxes = jax.lax.map(do_chunk, chunks)
     M = cols.shape[-1] // 16
@@ -732,6 +738,93 @@ class AutomaticMaskGenerator:
         )
         return data, out["masks"], max_out
 
+    def _collect_device_multicrop(self, image: np.ndarray, crop_boxes,
+                                  orig_size):
+        """crop_n_layers==1 with equal-size layer-1 crops: the whole
+        multi-crop pipeline stays ON DEVICE (round-2 verdict item 9) —
+        the 4 crops sweep as ONE stacked dispatch (one trace instead of a
+        retrace per crop geometry), cross-crop NMS runs on device, and
+        survivors are placed into the full frame on device (no host
+        stitch). Returns (MaskData, [masks [K, H, W] device], orig)."""
+        from ullsam_tpu.inference.transforms import get_preprocess_shape
+
+        full_handle = self._process_crop(image, crop_boxes[0], 0, orig_size,
+                                         defer=True)
+        full_out, _, _, input_full, max_out_f, pts_full, n_full = full_handle
+
+        boxes1 = crop_boxes[1:]
+        x0s = np.asarray([b[0] for b in boxes1], np.int32)
+        y0s = np.asarray([b[1] for b in boxes1], np.int32)
+        ch = boxes1[0][3] - boxes1[0][1]
+        cw = boxes1[0][2] - boxes1[0][0]
+        crop_imgs = np.stack([image[b[1]:b[3], b[0]:b[2]] for b in boxes1])
+        input_crop = get_preprocess_shape(ch, cw, self.cfg.vit.img_size)
+        pts_crop = self.point_grids[1] * np.array([cw, ch])[None]
+        in_pts = self.transform.apply_coords(pts_crop, (ch, cw))
+        ppb = self.points_per_batch
+        n_c = len(in_pts)
+        if -n_c % ppb:
+            in_pts = np.concatenate(
+                [in_pts, np.zeros((-n_c % ppb, 2), in_pts.dtype)])
+        max_out_c = min(self.max_masks or 512, n_c * 3)
+        crops_out = _amg_device_sweep_crops(
+            self.params, self.cfg, jnp.asarray(crop_imgs),
+            jnp.asarray(in_pts, jnp.float32), points_per_batch=ppb,
+            max_out=max_out_c, pred_iou_thresh=self.pred_iou_thresh,
+            stability_thresh=self.stability_score_thresh,
+            stability_offset=self.stability_score_offset,
+            box_nms_thresh=self.box_nms_thresh, input_hw=input_crop,
+            crop_hw=(ch, cw), n_real=n_c,
+            compute_dtype=self.compute_dtype)
+
+        lr = 4 * self.cfg.prompt_encoder.image_embedding_size[0]
+        size = self.cfg.vit.img_size
+        final_k = self.max_masks or 512
+        areas1 = np.full((len(boxes1),), float(ch) * float(cw), np.float32)
+        merged = _merge_crops_device(
+            full_out, crops_out,
+            jnp.stack([jnp.asarray(x0s), jnp.asarray(y0s)], -1),
+            jnp.asarray(areas1), tuple(orig_size), (ch, cw),
+            self.crop_nms_thresh, final_k,
+            scale_full=(size / lr * orig_size[0] / input_full[0],
+                        size / lr * orig_size[1] / input_full[1]),
+            scale_crop=(size / lr * ch / input_crop[0],
+                        size / lr * cw / input_crop[1]))
+
+        stats = jax.device_get({
+            "valid": merged["valid"], "iou": merged["iou"],
+            "stability": merged["stability"], "boxes": merged["boxes"],
+            "areas": merged["areas"], "from_full": merged["from_full"],
+            "crop_index": merged["crop_index"]})
+        valid = stats["valid"].astype(bool)
+        K = final_k
+        report_boxes = np.where(
+            stats["from_full"][:, None],
+            np.asarray([0, 0, orig_size[1], orig_size[0]], np.float32)[None],
+            np.concatenate([
+                np.stack([x0s, y0s], -1),
+                np.stack([x0s + cw, y0s + ch], -1)], -1).astype(np.float32)[
+                np.clip(stats["crop_index"], 0, len(boxes1) - 1)])
+        data = MaskData(
+            iou_preds=stats["iou"].astype(np.float32),
+            stability=stats["stability"].astype(np.float32),
+            boxes=stats["boxes"].astype(np.float32),
+            points=np.zeros((K, 2), np.float32),
+            areas=stats["areas"].astype(np.int64),
+            valid=valid,
+            # masks are ALREADY placed in the full frame: the pool's crop
+            # box is the whole image (uncrop no-op); the true source crop
+            # is reported separately for the output records
+            crop_boxes=np.asarray([[0, 0, orig_size[1], orig_size[0]]] * K,
+                                  np.float32),
+            report_crop_boxes=report_boxes,
+            crop_size=[tuple(orig_size)] * K,
+            mask_slot=np.arange(K),
+            crop_index=np.zeros((K,), np.int64),
+        )
+        data.filter(valid)
+        return data, [merged["masks"]], orig_size
+
     def _collect(self, image: np.ndarray):
         """Sweep all crops. Returns (MaskData of VALID survivors after
         cross-crop NMS, list of per-crop device mask arrays; each MaskData
@@ -739,6 +832,12 @@ class AutomaticMaskGenerator:
         orig_size = image.shape[:2]
         crop_boxes, layer_idxs = generate_crop_boxes(
             orig_size, self.crop_n_layers, self.crop_overlap_ratio)
+
+        if (self.crop_n_layers == 1 and len(crop_boxes) > 1):
+            sizes = {(b[3] - b[1], b[2] - b[0]) for b in crop_boxes[1:]}
+            if len(sizes) == 1:
+                return self._collect_device_multicrop(image, crop_boxes,
+                                                      orig_size)
 
         data = MaskData(iou_preds=np.zeros((0,), np.float32),
                         stability=np.zeros((0,), np.float32),
@@ -861,9 +960,11 @@ class AutomaticMaskGenerator:
         boxes_full = (np.asarray(batched_mask_to_box(
             jnp.asarray(masks_full))) if K else np.zeros((0, 4)))
 
+        crop_col = (data["report_crop_boxes"] if "report_crop_boxes" in data
+                    else data["crop_boxes"])
         records = []
         for i in range(K):
-            crop_box = data["crop_boxes"][i].astype(int).tolist()
+            crop_box = crop_col[i].astype(int).tolist()
             rle = rles[i]
             box = boxes_full[i]
             records.append({

@@ -332,6 +332,57 @@ def internlm2_prefill(params: dict, cfg: InternLM2Config,
     return out, new_cache
 
 
+def internlm2_prefill_at(params: dict, cfg: InternLM2Config,
+                         inputs_embeds: Array, chunk_mask: Array,
+                         cache: KVCache, start: Array,
+                         compute_logits: bool = True
+                         ) -> Tuple[dict, KVCache]:
+    """CHUNKED prefill: write a RIGHT-PACKED [B, C, H] prompt segment at
+    cache slots [start, start+C) and attend over everything cached so far
+    plus the causal prefix of the segment.
+
+    `start` is a traced int32 scalar, so ONE compiled program serves every
+    segment position — the serving engine interleaves these segments with
+    decode chunks so a long (e.g. 1088-token image) prompt never occupies
+    the chip for more than one segment at a time (chunked prefill; the
+    reference's flash-attn varlen batching plays this role,
+    modeling_internlm2.py:509-561). chunk_mask [B, C]: validity inside the
+    segment (only a prompt's final segment may have a padded tail).
+    compute_logits=False skips the [C, vocab] head matmul on non-final
+    segments. Returns ({'last_hidden', 'logits'?}, cache)."""
+    x = inputs_embeds
+    B, C, H = x.shape
+    max_len = cache.k.shape[2]
+    qpos = start + jnp.arange(C)
+    position_ids = jnp.broadcast_to(qpos[None], (B, C))
+    cos, sin = rope_cos_sin(cfg, position_ids, ntk_seq_len=max_len)
+
+    new_mask = jax.lax.dynamic_update_slice_in_dim(
+        cache.mask, chunk_mask.astype(cache.mask.dtype), start, axis=1)
+    slots = jnp.arange(max_len)
+    causal = slots[None, None, :] <= qpos[None, :, None]     # [1, C, max]
+    attn = jnp.where(new_mask[:, None, :].astype(bool) & causal,
+                     0.0, NEG_INF)
+
+    def body(carry, xs):
+        x = carry
+        lp, kc, vc = xs
+        x_out, kc, vc = _layer_body(cfg, x, lp, cos, sin, attn,
+                                    k_cache=kc, v_cache=vc,
+                                    write_index=start)
+        return x_out, (kc, vc)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (params["layers"], cache.k, cache.v))
+    last_hidden = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+    out = {"last_hidden": last_hidden}
+    if compute_logits:
+        out["logits"] = L.linear(params["output"], last_hidden)
+    new_cache = KVCache(k=new_k, v=new_v, mask=new_mask,
+                        index=start + C)
+    return out, new_cache
+
+
 def internlm2_decode_step(params: dict, cfg: InternLM2Config,
                           token_embeds: Array, cache: KVCache,
                           attend_len: Optional[int] = None

@@ -261,6 +261,87 @@ def predict_masks_cols(params: dict, cfg: MaskDecoderConfig,
     return masks_cols, iou_pred
 
 
+def predict_masks_cols_stats(params: dict, cfg: MaskDecoderConfig,
+                             image_embeddings: Array, image_pe: Array,
+                             sparse_prompt: Array, dense_prompt: Array,
+                             multimask_output: Optional[bool],
+                             thr: float, off: float):
+    """predict_masks_cols + IN-KERNEL mask statistics.
+
+    On TPU the fused upscale kernel also emits hi/lo pixel counts and
+    row/col occupancy bitmaps while each logit tile is in VMEM, so the
+    stability scores and bounding boxes cost a few tiny reductions
+    instead of several HBM passes over the cols tensor (the XLA stats
+    chain was ~2.9 ms of the AMG decode chunk). Returns
+    (masks_cols, iou_pred, stats) where stats = (stability [B, M],
+    boxes_lowres [B, M, 4]) or None when the kernel path is off (the
+    caller then computes them from the cols — identical values).
+    """
+    B = sparse_prompt.shape[0]
+    d = cfg.transformer_dim
+    nm = cfg.num_mask_tokens
+
+    output_tokens = jnp.concatenate(
+        [params["iou_token"], params["mask_tokens"]], axis=0)
+    output_tokens = jnp.broadcast_to(output_tokens[None], (B, 1 + nm, d))
+    tokens = jnp.concatenate(
+        [output_tokens.astype(sparse_prompt.dtype), sparse_prompt], axis=1)
+    src = image_embeddings + dense_prompt.astype(image_embeddings.dtype)
+
+    from ullsam_tpu.ops.pallas import decoder as PD
+    _, H, W, _ = src.shape
+    if (src.shape[0] == 1
+            and PD.twt_supported(d, d // cfg.attention_downsample_rate,
+                                 cfg.transformer_num_heads,
+                                 cfg.transformer_depth, tokens.shape[1],
+                                 H * W)):
+        hs, keys = PD.fused_two_way_transformer(
+            params["transformer"], src.reshape(1, H * W, d),
+            image_pe.reshape(1, H * W, d), tokens,
+            heads=cfg.transformer_num_heads,
+            mlp_dim=cfg.transformer_mlp_dim, eps=cfg.ln_eps)
+    else:
+        hs, keys = two_way_transformer_apply(params["transformer"], cfg,
+                                             src, image_pe, tokens)
+    iou_token_out = hs[:, 0, :]
+    mask_tokens_out = hs[:, 1:1 + nm, :]
+    m_idx = (range(1, nm) if multimask_output is True
+             else range(0, 1) if multimask_output is False
+             else range(nm))
+    hyper_in = jnp.stack(
+        [L.mlp_stack(params["hyper_mlps"][i], mask_tokens_out[:, i, :])
+         for i in m_idx], axis=1)  # [B, M, d/8]
+    iou_pred = L.mlp_stack(params["iou_head"], iou_token_out)[:, list(m_idx)]
+    M = hyper_in.shape[1]
+
+    if PD.supported(keys.shape, d) and M <= 8:
+        w1c, b1t, lns, lnb, w2bd, b2t = _upscale_weight_views(
+            params["upscale"])
+        cols, counts, rowany, colany = PD.fused_upscale_hypernet_stats(
+            keys, hyper_in, w1c, b1t, lns, lnb, w2bd, b2t,
+            W=W, nm=M, thr=float(thr), off=float(off))
+        hi = counts[:, 0, :M]
+        lo = counts[:, 1, :M]
+        stability = hi / jnp.maximum(lo, 1.0)
+        # boxes from the occupancy bitmaps (mask_to_box_cols semantics:
+        # inclusive edges, zeros for empty)
+        any_row = rowany[:, :M, :] > 0          # [B, M, 4H]
+        any_col = colany[:, :M, :] > 0          # [B, M, 4W]
+        rows = jnp.arange(4 * H)
+        cols_i = jnp.arange(4 * W)
+        top = jnp.min(jnp.where(any_row, rows, 4 * H), axis=-1)
+        bottom = jnp.max(jnp.where(any_row, rows, -1), axis=-1)
+        left = jnp.min(jnp.where(any_col, cols_i, 4 * W), axis=-1)
+        right = jnp.max(jnp.where(any_col, cols_i, -1), axis=-1)
+        empty = ~jnp.any(any_row, axis=-1)
+        boxes = jnp.stack([left, top, right, bottom], axis=-1)
+        boxes = jnp.where(empty[..., None], 0, boxes).astype(jnp.float32)
+        return cols, iou_pred, (stability, boxes)
+
+    cols = _upscale_hypernet_cols(params["upscale"], hyper_in, keys)
+    return cols, iou_pred, None
+
+
 def mask_decoder_apply(params: dict, cfg: MaskDecoderConfig,
                        image_embeddings: Array, image_pe: Array,
                        sparse_prompt: Array, dense_prompt: Array,

@@ -106,6 +106,28 @@ def decode_masks_cols(
         multimask_output=multimask_output)
 
 
+def decode_masks_cols_stats(
+    params: dict,
+    cfg: SamConfig,
+    image_embedding: Array,
+    points: Tuple[Array, Array],
+    multimask_output: bool = True,
+    stability_offset: float = 1.0,
+):
+    """decode_masks_cols + in-kernel stability/boxes when the fused
+    upscale kernel runs (see mask_decoder.predict_masks_cols_stats).
+    Returns (masks_cols, iou_pred, stats_or_None)."""
+    sparse, dense = PE.prompt_encoder_apply(
+        params["prompt_encoder"], cfg.prompt_encoder, points=points)
+    dense = dense[:1]
+    image_pe = PE.get_dense_pe(params["prompt_encoder"], cfg.prompt_encoder)
+    return MD.predict_masks_cols_stats(
+        params["mask_decoder"], cfg.mask_decoder,
+        image_embedding, image_pe, sparse, dense,
+        multimask_output=multimask_output,
+        thr=cfg.mask_threshold, off=stability_offset)
+
+
 def postprocess_masks(masks: Array, input_size: Tuple[int, int],
                       original_size: Tuple[int, int], cfg: SamConfig) -> Array:
     """Upscale low-res logits to original image size (sam.py:133-162).

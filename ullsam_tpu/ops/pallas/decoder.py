@@ -77,6 +77,191 @@ def _upscale_kernel(keys_ref, hbd_ref, w1_ref, b1_ref, lns_ref, lnb_ref,
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _upscale_stats_kernel(keys_ref, hbd_ref, w1_ref, b1_ref, lns_ref,
+                          lnb_ref, w2_ref, b2_ref, o_ref, cnt_ref, row_ref,
+                          col_ref, *, c4: int, eps: float, thr: float,
+                          off: float, W: int, nm: int):
+    """_upscale_kernel + in-VMEM mask statistics.
+
+    While each [block_n, nm*16] logit tile is still in VMEM, emits the
+    hi/lo pixel counts (stability score numerator/denominator) and the
+    spatial row/col occupancy bitmaps (bounding boxes) as accumulated
+    side outputs — the XLA stats chain re-read the ~100 MB bf16 cols
+    tensor several times per chunk (~2.9 ms, round-2 verdict item 2).
+
+    cnt_ref [1, 8, 128] f32: row 0 = hi counts, row 1 = lo counts, lanes
+    [:nm]. row_ref [1, 8, 4H], col_ref [1, 8, 4W] f32: >0 where any pixel
+    of mask m (sublane) occupies that spatial row/col.
+    """
+    n = pl.program_id(1)
+    f32 = jnp.float32
+
+    @pl.when(n == 0)
+    def _init():
+        cnt_ref[0] = jnp.zeros_like(cnt_ref[0])
+        row_ref[0] = jnp.zeros_like(row_ref[0])
+        col_ref[0] = jnp.zeros_like(col_ref[0])
+
+    x = keys_ref[0]
+    u1 = jax.lax.dot_general(
+        x, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[:]
+    C = u1.shape[-1]
+    gi = jax.lax.broadcasted_iota(jnp.int32, (C, 4), 0) // c4
+    gj = jax.lax.broadcasted_iota(jnp.int32, (C, 4), 1)
+    pool = (gi == gj).astype(f32) / c4
+    expand = jnp.transpose((gi == gj).astype(f32))
+    m1 = jax.lax.dot_general(u1, pool, (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+    m2 = jax.lax.dot_general(u1 * u1, pool, (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+    var = jnp.maximum(m2 - m1 * m1, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    mean_full = jax.lax.dot_general(m1, expand, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)
+    inv_full = jax.lax.dot_general(inv, expand, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+    u1 = (u1 - mean_full) * inv_full * lns_ref[:] + lnb_ref[:]
+    u1 = _gelu(u1).astype(x.dtype)
+    u2 = jax.lax.dot_general(
+        u1, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32) + b2_ref[:]
+    u2 = _gelu(u2).astype(x.dtype)
+    logits = jax.lax.dot_general(
+        u2, hbd_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32)                        # [TN, nm*16]
+    o_ref[0] = logits.astype(o_ref.dtype)
+
+    TN, L = logits.shape                                   # L = nm*16
+    rows_blk = TN // W                                     # grid rows here
+
+    def nn(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    # hi/lo counts per mask token: lane-group sums via a [L, nm] selector
+    csel = (jax.lax.broadcasted_iota(jnp.int32, (L, 128), 0) // 16
+            == jax.lax.broadcasted_iota(jnp.int32, (L, 128), 1)
+            ).astype(f32)                                  # [L, 128]
+    zhi = (logits > (thr + off)).astype(f32)
+    zlo = (logits > (thr - off)).astype(f32)
+    hi = nn(jnp.sum(zhi, axis=0, keepdims=True), csel)     # [1, 128]
+    lo = nn(jnp.sum(zlo, axis=0, keepdims=True), csel)
+    rsel = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    cnt_ref[0] = cnt_ref[0] + jnp.where(
+        rsel == 0, hi, jnp.where(rsel == 1, lo, 0.0))
+
+    # occupancy bitmaps. Sub-pixel layout: col = m*16 + di*8 + dj*4 +
+    # ei*2 + ej; spatial row = 4*(grid_row) + 2di + ei, spatial col =
+    # 4*(grid_col) + 2dj + ej (mask_decoder._upscale_hypernet_cols).
+    z0 = (logits > thr).astype(f32)
+    g3 = z0.reshape(rows_blk, W, L)
+    row_occ = jnp.max(g3, axis=1)                          # [rows_blk, L]
+    col_occ = jnp.max(g3, axis=0)                          # [W, L]
+
+    li = jax.lax.broadcasted_iota(jnp.int32, (L, nm * 4), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (L, nm * 4), 1)
+    m_of = li // 16
+    di2ei = ((li % 16) // 8) * 2 + (li % 4) // 2           # 2di + ei
+    dj2ej = ((li % 8) // 4) * 2 + li % 2                   # 2dj + ej
+    sel_r = ((m_of * 4 + di2ei) == lj).astype(f32)         # [L, nm*4]
+    sel_c = ((m_of * 4 + dj2ej) == lj).astype(f32)
+    r12 = nn(row_occ, sel_r)                               # [rows_blk, nm*4]
+    c12 = nn(col_occ, sel_c)                               # [W, nm*4]
+
+    # placement: out[m, 4*pos + s] += part[pos, m*4 + s], accumulated.
+    # Static loop over the 4 sub-offsets; each (extract, transpose-place)
+    # pair is two small matmuls — lane-dim reshapes are not Mosaic-native.
+    H4 = row_ref.shape[-1]
+    W4 = col_ref.shape[-1]
+    row_acc = row_ref[0]
+    col_acc = col_ref[0]
+    base_row = n * rows_blk * 4
+    for s in range(4):
+        ex = (jax.lax.broadcasted_iota(jnp.int32, (nm * 4, nm), 0)
+              == jax.lax.broadcasted_iota(jnp.int32, (nm * 4, nm), 1) * 4
+              + s).astype(f32)                             # [nm*4, nm]
+        r_m = nn(r12, ex)                                  # [rows_blk, nm]
+        c_m = nn(c12, ex)                                  # [W, nm]
+        # transpose+place via one matmul each: P[pos, lane] = 1 at
+        # lane = 4*pos + s (+ block row offset for rows)
+        pr = (jax.lax.broadcasted_iota(jnp.int32, (rows_blk, H4), 0) * 4
+              + s + base_row
+              == jax.lax.broadcasted_iota(jnp.int32, (rows_blk, H4), 1)
+              ).astype(f32)
+        pc = (jax.lax.broadcasted_iota(jnp.int32, (W, W4), 0) * 4 + s
+              == jax.lax.broadcasted_iota(jnp.int32, (W, W4), 1)
+              ).astype(f32)
+        row_acc = row_acc + jnp.pad(
+            jax.lax.dot_general(r_m, pr, (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32),
+            ((0, 8 - nm), (0, 0)))
+        col_acc = col_acc + jnp.pad(
+            jax.lax.dot_general(c_m, pc, (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32),
+            ((0, 8 - nm), (0, 0)))
+    row_ref[0] = row_acc
+    col_ref[0] = col_acc
+
+
+@functools.partial(jax.jit, static_argnames=("W", "nm", "thr", "off",
+                                             "block_n", "eps", "interpret"))
+def fused_upscale_hypernet_stats(keys: Array, hyper_in: Array, w1c: Array,
+                                 b1t: Array, ln_scale_t: Array,
+                                 ln_bias_t: Array, w2bd: Array, b2t: Array,
+                                 *, W: int, nm: int, thr: float, off: float,
+                                 block_n: int = 512, eps: float = 1e-6,
+                                 interpret: bool = False):
+    """fused_upscale_hypernet + in-kernel mask statistics.
+
+    Returns (cols [B, N, nm*16] bf16, counts [B, 8, 128] f32 with hi/lo
+    pixel counts in rows 0/1 lanes [:nm], row_any [B, 8, 4H], col_any
+    [B, 8, 4W] f32 occupancy bitmaps) — stability scores and bounding
+    boxes then cost a few tiny reductions instead of several passes over
+    the cols tensor.
+    """
+    B, N, C = keys.shape
+    assert hyper_in.shape[1] == nm and N % block_n == 0
+    assert block_n % W == 0
+    H = N // W
+    c4 = C // 4
+    dtype = keys.dtype
+    eye16 = jnp.eye(16, dtype=dtype)
+    hbd = jnp.einsum("ef,bmc->becmf", eye16,
+                     hyper_in.astype(dtype)).reshape(B, 2 * C, nm * 16)
+
+    kernel = functools.partial(_upscale_stats_kernel, c4=c4, eps=eps,
+                               thr=thr, off=off, W=W, nm=nm)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, N // block_n),
+        in_specs=[
+            pl.BlockSpec((1, block_n, C), lambda b, n: (b, n, 0)),
+            pl.BlockSpec((1, 2 * C, nm * 16), lambda b, n: (b, 0, 0)),
+            pl.BlockSpec((C, C), lambda b, n: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, n: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, n: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, n: (0, 0)),
+            pl.BlockSpec((C, 2 * C), lambda b, n: (0, 0)),
+            pl.BlockSpec((1, 2 * C), lambda b, n: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_n, nm * 16), lambda b, n: (b, n, 0)),
+            pl.BlockSpec((1, 8, 128), lambda b, n: (b, 0, 0)),
+            pl.BlockSpec((1, 8, 4 * H), lambda b, n: (b, 0, 0)),
+            pl.BlockSpec((1, 8, 4 * W), lambda b, n: (b, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, nm * 16), dtype),
+            jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, 4 * W), jnp.float32),
+        ),
+        interpret=interpret,
+    )(keys, hbd, w1c.astype(dtype), b1t, ln_scale_t, ln_bias_t,
+      w2bd.astype(dtype), b2t)
+
+
 def supported(keys_shape, transformer_dim: int) -> bool:
     """Kernel engages for production shapes on a real TPU backend."""
     from ullsam_tpu.ops.pallas import backend_ok

