@@ -158,9 +158,17 @@ def main():
         print(f"[{name} done in {time.time()-t0:.0f}s]", flush=True)
         print(json.dumps(results, indent=2))
 
+    # merge so partial runs (--skip/--quick) never clobber other sections
+    merged = {}
+    try:
+        with open("benchmarks/results.json") as f:
+            merged = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    merged.update(results)
     with open("benchmarks/results.json", "w") as f:
-        json.dump(results, f, indent=2)
-    print(json.dumps(results))
+        json.dump(merged, f, indent=2)
+    print(json.dumps(merged))
 
 
 if __name__ == "__main__":

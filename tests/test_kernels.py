@@ -180,6 +180,17 @@ def test_fused_two_way_transformer_matches_xla():
     np.testing.assert_allclose(np.asarray(k, np.float32),
                                np.asarray(keys_ref, np.float32),
                                atol=2e-5, rtol=2e-5)
+    # odd batch exercises the single-prompt-per-program fallback (P=1)
+    q1, k1 = PD.fused_two_way_transformer(
+        tw, emb.reshape(1, -1, C), pe.reshape(1, -1, C), toks[:1],
+        heads=cfg.transformer_num_heads, mlp_dim=cfg.transformer_mlp_dim,
+        eps=cfg.ln_eps, interpret=True)
+    np.testing.assert_allclose(np.asarray(q1, np.float32),
+                               np.asarray(hs_ref[:1], np.float32),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(k1, np.float32),
+                               np.asarray(keys_ref[:1], np.float32),
+                               atol=2e-5, rtol=2e-5)
 
 
 def test_vit_window_attention_packed_matches_xla():

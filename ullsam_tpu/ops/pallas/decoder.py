@@ -20,6 +20,7 @@ directly and only restores spatial order after top-k selection.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -395,16 +396,29 @@ def pack_twt_weights(tw: dict, mlp_dim: int, dtype=jnp.bfloat16):
             jnp.stack(bmlp_rows))
 
 
-def _twt_kernel(src_ref, pe_ref, tok_ref, k1_ref, v1_ref, qi1_ref,
+def _twt_kernel(src_ref, tok_ref, k1_ref, v1_ref, qi1_ref,
+                pewk2_ref, pewq2_ref, pewkf_ref,
                 w256_ref, w128_ref, wfc2_ref, bias_ref, bmlp_ref,
                 q_out_ref, keys_ref, *, T: int, C: int, Cd: int,
-                heads: int, mlp_dim: int, eps: float):
+                heads: int, mlp_dim: int, eps: float, P: int = 1):
+    """P prompts per grid program (prompt-major row blocks): the fixed
+    per-program overhead and the shared block-1 attention matmuls
+    amortize over P prompts. Expansion rows r = p*HT + h*TP + t.
+
+    Image-side projections never recompute shared work: block 1's
+    k/v/qi come in precomputed (k1/v1/qi1); block 2 and the final
+    attention project the per-prompt keys with ONE [N, 3Cd] / [N, 2Cd]
+    matmul each (t2i.k|t2i.v|i2t.q and fin.k|fin.v are contiguous in
+    the w256 pack) plus the precomputed pe-halves pewk2/pewq2/pewkf —
+    so pe itself never enters the kernel."""
     f32 = jnp.float32
     bf = src_ref.dtype
     hd_self = C // heads
     hd_cross = Cd // heads
     TP = _TP
     HT = heads * TP  # 128
+    R = P * HT       # expansion rows
+    PT = P * TP      # token rows
 
     w_blk = 4 * C + 6 * Cd + mlp_dim
     b_blk = 21
@@ -420,14 +434,14 @@ def _twt_kernel(src_ref, pe_ref, tok_ref, k1_ref, v1_ref, qi1_ref,
     def brow(r, width):
         return bias_ref[r:r + 1, :width]
 
-    # (head, token) expansion: S[r, t] = (t == r % TP); collapse = S^T
-    S = (jax.lax.broadcasted_iota(jnp.int32, (HT, TP), 0) % TP
-         == jax.lax.broadcasted_iota(jnp.int32, (HT, TP), 1)).astype(bf)
-    Tcol = (jax.lax.broadcasted_iota(jnp.int32, (TP, HT), 1) % TP
-            == jax.lax.broadcasted_iota(jnp.int32, (TP, HT), 0)).astype(bf)
+    # (prompt, head, token) expansion: S[r, c] = (c == (r//HT)*TP + r%TP)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (R, PT), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (R, PT), 1)
+    S = ((ci // TP == ri // HT) & (ci % TP == ri % TP)).astype(bf)
+    Tcol = jnp.transpose(S)  # [PT, R] collapse
 
     def headmask(x, hd):  # zero cols outside the row's head slice
-        row_h = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) // TP
+        row_h = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) % HT) // TP
         col_h = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) // hd
         return jnp.where(row_h == col_h, x, 0.0)
 
@@ -443,81 +457,116 @@ def _twt_kernel(src_ref, pe_ref, tok_ref, k1_ref, v1_ref, qi1_ref,
         e = jnp.exp(logits - m)
         return e / jnp.sum(e, axis=-1, keepdims=True)
 
-    tok0 = tok_ref[0]  # [TP, C] bf16 — initial tokens AND query PE
+    tok0 = tok_ref[0]  # [PT, C] bf16 — initial tokens AND query PE
 
-    def self_attn(blk, q_in, k_in, v_in):  # [TP, C] bf16 each -> f32
+    def self_attn(blk, q_in, k_in, v_in):  # [PT, C] bf16 each -> f32
         ow = blk * w_blk
         ob = blk * b_blk
         q = nn(q_in, w256_ref[:, ow:ow + C]) + brow(ob, C)
         k = nn(k_in, w256_ref[:, ow + C:ow + 2 * C]) + brow(ob + 1, C)
         v = nn(v_in, w256_ref[:, ow + 2 * C:ow + 3 * C]) + brow(ob + 2, C)
-        Qm = headmask(nn(S, q.astype(bf)), hd_self)        # [HT, C]
+        Qm = headmask(nn(S, q.astype(bf)), hd_self)        # [R, C]
         logits = nt(Qm.astype(bf), k.astype(bf)) * (hd_self ** -0.5)
-        kcol = jax.lax.broadcasted_iota(jnp.int32, (HT, TP), 1)
-        logits = jnp.where(kcol < T, logits, NEG_INF)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (R, PT), 1)
+        rrow = jax.lax.broadcasted_iota(jnp.int32, (R, PT), 0)
+        ok = (kcol % TP < T) & (kcol // TP == rrow // HT)  # same prompt
+        logits = jnp.where(ok, logits, NEG_INF)
         p = softmax_rows(logits)
         om = headmask(nn(p.astype(bf), v.astype(bf)), hd_self)
-        out = nn(Tcol, om.astype(bf))                      # [TP, C]
+        out = nn(Tcol, om.astype(bf))                      # [PT, C]
         return (nn(out.astype(bf), w256_ref[:, ow + 3 * C:ow + 4 * C])
                 + brow(ob + 3, C))
 
-    def t2i(blk, q_tok, keys_img, k_pre=None, v_pre=None, final=False):
-        """token->image cross-attn. q_tok [TP, C] bf; keys_img [N, C] bf.
-        k_pre/v_pre: pre-projected shared [N, Cd] (block-1 fast path)."""
+    def project_block2(keys):
+        """Per-prompt image-side projections for block 2: ONE [N, 3Cd]
+        matmul covers t2i.k, t2i.v, i2t.q (contiguous in the w256
+        pack); the pe-dependent halves of k and qi are the shared
+        precomputed pewk2/pewq2. Returns ([(k, v)], [qi]) bf16."""
+        ow = w_blk + 4 * C
+        ob = b_blk + 4
+        kv, qis = [], []
+        for pi in range(P):
+            prj = nn(keys[pi], w256_ref[:, ow + Cd:ow + 4 * Cd])
+            k = (prj[:, :Cd] + pewk2_ref[:] + brow(ob + 1, Cd)).astype(bf)
+            v = (prj[:, Cd:2 * Cd] + brow(ob + 2, Cd)).astype(bf)
+            qis.append((prj[:, 2 * Cd:] + pewq2_ref[:]
+                        + brow(b_blk + 8, Cd)).astype(bf))
+            kv.append((k, v))
+        return kv, qis
+
+    def project_final(keys):
+        """fin.k|fin.v as one [N, 2Cd] matmul per prompt."""
+        ow, ob = 2 * w_blk, 2 * b_blk
+        kv = []
+        for pi in range(P):
+            prj = nn(keys[pi], w256_ref[:, ow + Cd:ow + 3 * Cd])
+            k = (prj[:, :Cd] + pewkf_ref[:] + brow(ob + 1, Cd)).astype(bf)
+            v = (prj[:, Cd:] + brow(ob + 2, Cd)).astype(bf)
+            kv.append((k, v))
+        return kv
+
+    def t2i(blk, q_tok, kv, final=False):
+        """token->image cross-attn. q_tok [PT, C] bf; kv: shared (k, v)
+        pair (block 1) or per-prompt list from project_block2/final."""
         if final:
             ow, ob = 2 * w_blk, 2 * b_blk
             wout_o, bout_r = 4 * C, 2 * b_blk + 3
         else:
             ow, ob = blk * w_blk + 4 * C, blk * b_blk + 4
             wout_o, bout_r = blk * 2 * C, blk * b_blk + 7
-        q = nn(q_tok, w256_ref[:, ow:ow + Cd]) + brow(ob, Cd)   # [TP, Cd]
-        if k_pre is None:
-            kin = (keys_img.astype(f32) + pe_ref[:].astype(f32)).astype(bf)
-            k = (nn(kin, w256_ref[:, ow + Cd:ow + 2 * Cd])
-                 + brow(ob + 1, Cd)).astype(bf)                 # [N, Cd]
-            v = (nn(keys_img, w256_ref[:, ow + 2 * Cd:ow + 3 * Cd])
-                 + brow(ob + 2, Cd)).astype(bf)
+        q = nn(q_tok, w256_ref[:, ow:ow + Cd]) + brow(ob, Cd)   # [PT, Cd]
+        Qm = headmask(nn(S, q.astype(bf)), hd_cross)            # [R, Cd]
+        if not isinstance(kv, list):
+            # block 1: ONE [R, N] pass against the shared projections
+            k_pre, v_pre = kv
+            logits = nt(Qm.astype(bf), k_pre) * (hd_cross ** -0.5)
+            p = softmax_rows(logits)
+            om = headmask(nn(p.astype(bf), v_pre), hd_cross)    # [R, Cd]
         else:
-            k, v = k_pre, v_pre
-        Qm = headmask(nn(S, q.astype(bf)), hd_cross)            # [HT, Cd]
-        logits = nt(Qm.astype(bf), k) * (hd_cross ** -0.5)      # [HT, N]
-        p = softmax_rows(logits)
-        om = headmask(nn(p.astype(bf), v), hd_cross)       # [HT, Cd]
-        out = nn(Tcol, om.astype(bf))                           # [TP, Cd]
+            oms = []
+            for pi in range(P):
+                k, v = kv[pi]
+                Qp = Qm[pi * HT:(pi + 1) * HT].astype(bf)       # [HT, Cd]
+                logits = nt(Qp, k) * (hd_cross ** -0.5)         # [HT, N]
+                pr = softmax_rows(logits)
+                oms.append(headmask(nn(pr.astype(bf), v), hd_cross))
+            om = jnp.concatenate(oms, axis=0)                   # [R, Cd]
+        out = nn(Tcol, om.astype(bf))                           # [PT, Cd]
         return (nn(out.astype(bf), w128_ref[:, wout_o:wout_o + C])
-                + brow(bout_r, C))                              # [TP, C] f32
+                + brow(bout_r, C))                              # [PT, C] f32
 
-    def i2t(blk, keys_img, q_tok, v_tok, qi_pre=None):
+    def i2t(blk, qi, q_tok, v_tok):
         """image->token cross-attn: queries = image rows, keys/values =
-        tokens. Returns the [N, C] f32 keys update (pre-residual)."""
+        tokens. qi: shared [N, Cd] (block 1) or per-prompt list.
+        Returns per-prompt [N, C] f32 keys updates."""
         ow = blk * w_blk + 4 * C + 3 * Cd
         ob = blk * b_blk + 8
         wout_o = blk * 2 * C + C
-        if qi_pre is None:
-            qin = (keys_img.astype(f32) + pe_ref[:].astype(f32)).astype(bf)
-            qi = (nn(qin, w256_ref[:, ow:ow + Cd])
-                  + brow(ob, Cd)).astype(bf)                    # [N, Cd]
-        else:
-            qi = qi_pre
         kt = nn(q_tok, w256_ref[:, ow + Cd:ow + 2 * Cd]) + brow(ob + 1, Cd)
         vt = nn(v_tok, w256_ref[:, ow + 2 * Cd:ow + 3 * Cd]) + brow(ob + 2, Cd)
-        Km = headmask(nn(S, kt.astype(bf)), hd_cross)           # [HT, Cd]
-        logits = nt(qi, Km.astype(bf)) * (hd_cross ** -0.5)     # [N, HT]
+        Km = headmask(nn(S, kt.astype(bf)), hd_cross)           # [R, Cd]
+        Vm = headmask(nn(S, vt.astype(bf)), hd_cross)           # [R, Cd]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, HT), 1)
         valid = (lane % TP) < T
-        logits = jnp.where(valid, logits, NEG_INF)
-        m = jnp.max(logits, axis=-1, keepdims=True)  # uniform per head grp
-        e = jnp.where(valid, jnp.exp(logits - m), 0.0)
         G = (jax.lax.broadcasted_iota(jnp.int32, (HT, heads), 0) // TP
              == jax.lax.broadcasted_iota(jnp.int32, (HT, heads), 1)
              ).astype(f32)
-        s = nn(e, G)                                            # [N, heads]
-        sx = nn(s, jnp.transpose(G))                            # [N, HT]
-        p = e / sx
-        Vm = headmask(nn(S, vt.astype(bf)), hd_cross)           # [HT, Cd]
-        o = nn(p.astype(bf), Vm.astype(bf))                     # [N, Cd]
-        return (nn(o.astype(bf), w128_ref[:, wout_o:wout_o + C])
-                + brow(blk * b_blk + 11, C))                    # [N, C] f32
+        upds = []
+        for pi in range(P):
+            qi_p = qi[pi] if isinstance(qi, list) else qi       # [N, Cd]
+            Kp = Km[pi * HT:(pi + 1) * HT].astype(bf)           # [HT, Cd]
+            logits = nt(qi_p, Kp) * (hd_cross ** -0.5)          # [N, HT]
+            logits = jnp.where(valid, logits, NEG_INF)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.where(valid, jnp.exp(logits - m), 0.0)
+            sg = nn(e, G)                                       # [N, heads]
+            sx = nn(sg, jnp.transpose(G))                       # [N, HT]
+            pr = e / sx
+            Vp = Vm[pi * HT:(pi + 1) * HT].astype(bf)
+            o = nn(pr.astype(bf), Vp)                           # [N, Cd]
+            upds.append(nn(o.astype(bf), w128_ref[:, wout_o:wout_o + C])
+                        + brow(blk * b_blk + 11, C))            # [N, C] f32
+        return upds
 
     def mlp(blk, x):  # ReLU MLP on tokens (transformer.py:23)
         ow = blk * w_blk + 4 * C + 6 * Cd
@@ -532,28 +581,33 @@ def _twt_kernel(src_ref, pe_ref, tok_ref, k1_ref, v1_ref, qi1_ref,
     # ---- block 1 (skip_first_layer_pe: no PE, no residual on self-attn)
     q = ln_tok(self_attn(0, tok0, tok0, tok0), 0, 0)
     qpe = (q.astype(f32) + tok0.astype(f32)).astype(bf)
-    q = ln_tok(q.astype(f32) + t2i(0, qpe, None, k_pre=k1_ref[:],
-                                   v_pre=v1_ref[:]), 0, 1)
+    q = ln_tok(q.astype(f32) + t2i(0, qpe, (k1_ref[:], v1_ref[:])), 0, 1)
     q = ln_tok(q.astype(f32) + mlp(0, q), 0, 2)
     qpe = (q.astype(f32) + tok0.astype(f32)).astype(bf)
-    upd = i2t(0, None, qpe, q, qi_pre=qi1_ref[:])
-    keys = ln(src_ref[:].astype(f32) + upd, 0 * b_blk + 19, C)  # norm4
-    keys_ref[0] = keys
+    upds = i2t(0, qi1_ref[:], qpe, q)
+    keys = [ln(src_ref[:].astype(f32) + upds[pi], 0 * b_blk + 19, C)
+            for pi in range(P)]
+    for pi in range(P):
+        keys_ref[0, pi] = keys[pi]
 
     # ---- block 2
+    kv2, qi2 = project_block2(keys)
     qpe = (q.astype(f32) + tok0.astype(f32)).astype(bf)
     q = ln_tok(q.astype(f32) + self_attn(1, qpe, qpe, q), 1, 0)
     qpe = (q.astype(f32) + tok0.astype(f32)).astype(bf)
-    q = ln_tok(q.astype(f32) + t2i(1, qpe, keys), 1, 1)
+    q = ln_tok(q.astype(f32) + t2i(1, qpe, kv2), 1, 1)
     q = ln_tok(q.astype(f32) + mlp(1, q), 1, 2)
     qpe = (q.astype(f32) + tok0.astype(f32)).astype(bf)
-    upd = i2t(1, keys, qpe, q)
-    keys = ln(keys.astype(f32) + upd, 1 * b_blk + 19, C)
-    keys_ref[0] = keys
+    upds = i2t(1, qi2, qpe, q)
+    keys = [ln(keys[pi].astype(f32) + upds[pi], 1 * b_blk + 19, C)
+            for pi in range(P)]
+    for pi in range(P):
+        keys_ref[0, pi] = keys[pi]
 
     # ---- final token->image attention + norm_final
+    kvf = project_final(keys)
     qpe = (q.astype(f32) + tok0.astype(f32)).astype(bf)
-    q = ln(q.astype(f32) + t2i(0, qpe, keys, final=True),
+    q = ln(q.astype(f32) + t2i(0, qpe, kvf, final=True),
            2 * b_blk + 4, C)
     q_out_ref[0] = q
 
@@ -608,17 +662,40 @@ def fused_two_way_transformer(tw: dict, image_embedding: Array,
     v1 = lin(layers[0]["cross_attn_t2i"]["v"], src)
     qi1 = lin(layers[0]["cross_attn_i2t"]["q"], src_pe)
 
+    def lin_nb(p, x):  # kernel-only projection of pe (bias added in-kernel)
+        return jnp.dot(x, p["kernel"].astype(dtype),
+                       preferred_element_type=jnp.float32).astype(dtype)
+
+    # shared pe-halves of the block-2 / final image-side projections: the
+    # kernel computes keys @ W per prompt and adds these, so pe never has
+    # to be resident in VMEM and each prompt needs ONE fused matmul
+    pewk2 = lin_nb(layers[1]["cross_attn_t2i"]["k"], pe)    # [N, Cd]
+    pewq2 = lin_nb(layers[1]["cross_attn_i2t"]["q"], pe)
+    pewkf = lin_nb(tw["final_attn_t2i"]["k"], pe)
+
     toks = jnp.pad(tokens.astype(dtype), ((0, 0), (0, _TP - T), (0, 0)))
 
+    # multiple prompts per program divide the fixed per-program overhead
+    # and share the block-1 attention passes (round-2 verdict item 2: one
+    # prompt/program left the 256-prompt chunk ~3x off its roofline).
+    # P=2 measured best on v5e; ULLSAM_TWT_P overrides for experiments.
+    want = int(os.environ.get("ULLSAM_TWT_P", "2"))
+    P = max(p for p in (1, 2, 4, 8) if p <= max(want, 1) and B % p == 0)
+    if P > 1:
+        toks = toks.reshape(B // P, P * _TP, C)
+    nprog = B // P
+
     kernel = functools.partial(_twt_kernel, T=T, C=C, Cd=Cd, heads=heads,
-                               mlp_dim=mlp_dim, eps=eps)
+                               mlp_dim=mlp_dim, eps=eps, P=P)
     q_out, keys_out = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(nprog,),
         in_specs=[
             pl.BlockSpec((N, C), lambda b: (0, 0)),
-            pl.BlockSpec((N, C), lambda b: (0, 0)),
-            pl.BlockSpec((1, _TP, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, P * _TP, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((N, Cd), lambda b: (0, 0)),
+            pl.BlockSpec((N, Cd), lambda b: (0, 0)),
+            pl.BlockSpec((N, Cd), lambda b: (0, 0)),
             pl.BlockSpec((N, Cd), lambda b: (0, 0)),
             pl.BlockSpec((N, Cd), lambda b: (0, 0)),
             pl.BlockSpec((N, Cd), lambda b: (0, 0)),
@@ -629,18 +706,21 @@ def fused_two_way_transformer(tw: dict, image_embedding: Array,
             pl.BlockSpec(bmlp.shape, lambda b: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, _TP, C), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, P * _TP, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, P, N, C), lambda b: (b, 0, 0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, _TP, C), dtype),
-            jax.ShapeDtypeStruct((B, N, C), dtype),
+            jax.ShapeDtypeStruct((nprog, P * _TP, C), dtype),
+            jax.ShapeDtypeStruct((nprog, P, N, C), dtype),
         ),
         # resident shared embedding + weight packs + per-prompt transients
-        # peak ~19 MB — above Mosaic's 16 MB default scoped-vmem limit,
-        # well under the v5e's physical VMEM
+        # peak ~19 MB (P=1) / ~24 MB (P=2) — above Mosaic's 16 MB default
+        # scoped-vmem limit, well under the v5e's physical VMEM
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=28 * 1024 * 1024),
+            vmem_limit_bytes=(34 + 16 * max(P - 2, 0)) * 1024 * 1024),
         interpret=interpret,
-    )(src, pe, toks, k1, v1, qi1, w256, w128, wfc2, bias, bmlp)
+    )(src, toks, k1, v1, qi1, pewk2, pewq2, pewkf,
+      w256, w128, wfc2, bias, bmlp)
+    q_out = q_out.reshape(B, _TP, C)
+    keys_out = keys_out.reshape(B, N, C)
     return q_out[:, :T], keys_out

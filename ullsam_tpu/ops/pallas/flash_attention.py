@@ -64,9 +64,18 @@ def _vit_kernel(q_ref, k_ref, v_ref, rhw_ref, o_ref, lse_ref,
     kj = jax.lax.broadcasted_iota(jnp.int32, (kh + kw, block_k), 1)
     h_onehot = hsel_rows == (ik * rows_per_tile + kj // kw)
     w_onehot = hsel_rows == (kh + kj % kw)
-    sel = (h_onehot | w_onehot).astype(jnp.float32)
-    bias = jax.lax.dot_general(rhw, sel, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    sel = (h_onehot | w_onehot).astype(jnp.bfloat16)
+    # the selection matmul only COPIES rhw values, but an f32 dot runs at
+    # a fraction of the MXU's bf16 rate and costed as much as q@k itself.
+    # Split rhw into bf16 hi + lo halves: two bf16 passes reproduce each
+    # selected f32 value to ~2^-16 relative (exact selection, rounded
+    # operands), at ~half the f32 matmul cost.
+    hi = rhw.astype(jnp.bfloat16)
+    lo = (rhw - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    bias = (jax.lax.dot_general(hi, sel, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(lo, sel, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32))
     logits = logits + bias
 
     m_prev = m_scr[:, 0:1]                               # [TQ, 1]
