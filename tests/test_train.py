@@ -62,6 +62,59 @@ def make_batch(batch_size=2, n_inst=3, n_pts=2, seed=0):
     }
 
 
+def test_hungarian_instance_loss():
+    """variable_instance_loss analog (train_joint_v2.py:698-940): the
+    on-device assignment is optimal (vs scipy), the loss is invariant to
+    GT permutation, and gradients flow through matched predictions."""
+    from scipy.optimize import linear_sum_assignment
+    from ullsam_tpu.train.losses import (hungarian_instance_loss,
+                                         instance_seg_loss)
+
+    rng = np.random.RandomState(1)
+    B, P, G, H, W = 2, 5, 4, 16, 16
+    pred = jnp.asarray(rng.randn(B, P, H, W) * 3, jnp.float32)
+    gt = jnp.asarray((rng.rand(B, G, H, W) > 0.7).astype(np.float32))
+    valid = jnp.asarray([[1, 1, 1, 0], [1, 1, 0, 0]], jnp.float32)
+
+    total, metrics = jax.jit(hungarian_instance_loss)(pred, gt, valid)
+    assert np.isfinite(float(total))
+
+    # the on-device match attains scipy's optimal cost
+    probs = jax.nn.sigmoid(pred)
+    pf = np.asarray(probs.reshape(B, P, -1))
+    gf = np.asarray(gt.reshape(B, G, -1))
+    v = np.asarray(valid)
+    import optax
+    for b in range(B):
+        inter = pf[b] @ gf[b].T
+        union = pf[b].sum(-1)[:, None] + gf[b].sum(-1)[None] - inter
+        cost = 1 - inter / (union + 1e-7)
+        cost = np.where(v[b][None] > 0, cost, 1.0)
+        ri, ci = linear_sum_assignment(cost)
+        oi, oj = optax.assignment.hungarian_algorithm(jnp.asarray(cost))
+        np.testing.assert_allclose(
+            float(cost[np.asarray(oi), np.asarray(oj)].sum()),
+            float(cost[ri, ci].sum()), rtol=1e-6)
+
+    # invariant to permuting the GT instances (with their validity)
+    perm = np.asarray([2, 0, 3, 1])
+    total_p, _ = jax.jit(hungarian_instance_loss)(
+        pred, gt[:, perm], valid[:, perm])
+    np.testing.assert_allclose(float(total), float(total_p), rtol=1e-5)
+
+    # perfectly-aligned preds: matching recovers the identity pairing,
+    # so the loss equals the indexed loss on the first G preds
+    big = jnp.asarray(np.where(np.asarray(gt) > 0, 20.0, -20.0))
+    big_pad = jnp.concatenate(
+        [big, jnp.full((B, P - G, H, W), -20.0)], axis=1)
+    t_h, _ = hungarian_instance_loss(big_pad, gt, valid)
+    t_i, _ = instance_seg_loss(big, gt, valid)
+    np.testing.assert_allclose(float(t_h), float(t_i), rtol=1e-5)
+
+    g = jax.grad(lambda p: hungarian_instance_loss(p, gt, valid)[0])(pred)
+    assert float(jnp.abs(g).max()) > 0 and np.isfinite(np.asarray(g)).all()
+
+
 def test_train_step_runs_and_loss_decreases():
     params = F.fusion_init(jax.random.PRNGKey(0), CFG)
     tx, trainable, frozen = make_trainable_optimizer(params, TCFG)
@@ -75,6 +128,21 @@ def test_train_step_runs_and_loss_decreases():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+    assert 0.0 <= float(metrics["iou"]) <= 1.0
+
+
+def test_train_step_hungarian_matching():
+    import dataclasses
+    tcfg = dataclasses.replace(TCFG, instance_matching="hungarian")
+    params = F.fusion_init(jax.random.PRNGKey(0), CFG)
+    tx, trainable, frozen = make_trainable_optimizer(params, tcfg)
+    opt_state = tx.init(trainable)
+    step = make_train_step(CFG, tcfg, tx, donate=False)
+    batch = jax.tree_util.tree_map(jnp.asarray, make_batch())
+    for _ in range(2):
+        trainable, opt_state, metrics = step(trainable, frozen, opt_state,
+                                             batch)
+    assert np.isfinite(float(metrics["loss"]))
     assert 0.0 <= float(metrics["iou"]) <= 1.0
 
 

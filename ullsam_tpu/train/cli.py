@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup_ratio", type=float, default=0.03)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--freeze_vision", action="store_true")
+    p.add_argument("--instance_matching", choices=["indexed", "hungarian"],
+                   default="indexed",
+                   help="hungarian = re-match preds to GTs by soft IoU "
+                        "(working variable_instance_loss analog)")
     p.add_argument("--trainable_modules", default=None,
                    help="comma-separated path regexes overriding defaults")
     # parallelism
@@ -177,6 +181,7 @@ def main(argv=None):
         llm_weight=0.0 if args.mode in seg_modes else 1.0,
         use_llm_hidden_states=(args.mode == "segment"),
         freeze_vision=args.freeze_vision,
+        instance_matching=args.instance_matching,
         trainable_patterns=(
             tuple(args.trainable_modules.split(","))
             if args.trainable_modules else

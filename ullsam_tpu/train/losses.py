@@ -44,6 +44,66 @@ def binary_iou(logits: Array, targets: Array, smooth: float = 1e-7) -> Array:
     return (inter + smooth) / (union + smooth)
 
 
+def hungarian_instance_loss(pred_logits: Array, gt_masks: Array,
+                            gt_valid: Optional[Array] = None
+                            ) -> Tuple[Array, dict]:
+    """Hungarian-matched instance loss (variable_instance_loss analog).
+
+    Behavioral reference: train_joint_v2.py:698-940 (`hungarian_matching`
+    + `variable_instance_loss` — dead code upstream, defined but never
+    called). Semantics preserved: soft-IoU cost 1 - IoU(sigmoid(pred),
+    gt) with padding cost 1.0 for invalid columns (:726-749), optimal
+    assignment, then per-pair BCE + Dice averaged over valid pairs
+    (:894-931). Deviations (this is the *working* version):
+      * gradients actually flow — upstream accumulates `.item()`s
+        (:920-925) so its loss tensor is constant; here the assignment is
+        a `stop_gradient` DETR-style match and BCE/Dice differentiate
+        through the gathered predictions.
+      * fully jittable: variable instance counts come in PADDED with a
+        `gt_valid` mask instead of per-item Python loops, and the
+        assignment runs on-device (`optax.assignment.hungarian_algorithm`,
+        Jonker-Volgenant) instead of scipy on host — no host round trip
+        per step.
+
+    pred_logits [B, P, H, W]; gt_masks [B, G, H, W]; gt_valid [B, G]
+    (1 = real instance; None = all real). Requires P >= G so every real
+    GT can be matched (the padded-cost columns absorb extra preds).
+    Returns (total_loss, metrics) like instance_seg_loss.
+    """
+    import optax
+
+    B, P = pred_logits.shape[:2]
+    G = gt_masks.shape[1]
+    if P < G:
+        raise ValueError(f"need preds >= gt slots, got P={P} < G={G}")
+    if gt_valid is None:
+        gt_valid = jnp.ones((B, G), jnp.float32)
+    gt_valid = gt_valid.astype(jnp.float32)
+
+    probs = jax.nn.sigmoid(pred_logits.astype(jnp.float32))
+    pf = probs.reshape(B, P, -1)
+    gf = gt_masks.astype(jnp.float32).reshape(B, G, -1)
+    inter = jnp.einsum("bph,bgh->bpg", pf, gf)
+    union = (pf.sum(-1)[:, :, None] + gf.sum(-1)[:, None, :] - inter)
+    iou = inter / (union + 1e-7)                    # (:735-738)
+    cost = 1.0 - iou
+    # invalid gt columns cost exactly 1.0, like the reference's padding
+    # columns (:743-749); ties then resolve away from real columns
+    cost = jnp.where(gt_valid[:, None, :] > 0, cost, 1.0)
+    cost = jax.lax.stop_gradient(cost)
+
+    # one pred per gt column (P >= G): i[b], j[b] each [G]
+    i_idx, j_idx = jax.vmap(optax.assignment.hungarian_algorithm)(cost)
+
+    matched_pred = jnp.take_along_axis(
+        pred_logits, i_idx[:, :, None, None], axis=1)     # [B, G, H, W]
+    matched_gt = jnp.take_along_axis(
+        gt_masks, j_idx[:, :, None, None], axis=1)
+    pair_valid = jnp.take_along_axis(gt_valid, j_idx, axis=1)
+
+    return instance_seg_loss(matched_pred, matched_gt, pair_valid)
+
+
 def instance_seg_loss(pred_logits: Array, gt_masks: Array,
                       valid: Optional[Array] = None
                       ) -> Tuple[Array, dict]:

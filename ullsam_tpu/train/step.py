@@ -54,6 +54,11 @@ class TrainConfig:
     # recompute (~30 ms/step measured), so seg_loss_fn passes False unless
     # overridden.
     remat_llm: "Optional[bool]" = None
+    # "indexed" pairs pred i with gt i (the reference's live path: one
+    # prompt per GT instance); "hungarian" re-matches predictions to GTs
+    # by soft IoU first (working variable_instance_loss analog,
+    # train_joint_v2.py:698-940 — dead code upstream)
+    instance_matching: str = "indexed"
 
 
 def _match_any(path: str, patterns) -> bool:
@@ -167,8 +172,13 @@ def seg_loss_fn(params, cfg: FusionConfig, tcfg: TrainConfig, batch: dict
     Hm, Wm = batch["masks"].shape[-2:]
     from ullsam_tpu.ops.resize import bilinear_resize
     up = bilinear_resize(low.astype(jnp.float32), Hm, Wm)  # (:1072-1078)
-    seg_loss, metrics = instance_seg_loss(up, batch["masks"],
-                                          batch.get("instance_valid"))
+    if tcfg.instance_matching == "hungarian":
+        from ullsam_tpu.train.losses import hungarian_instance_loss
+        seg_loss, metrics = hungarian_instance_loss(
+            up, batch["masks"], batch.get("instance_valid"))
+    else:
+        seg_loss, metrics = instance_seg_loss(up, batch["masks"],
+                                              batch.get("instance_valid"))
     total = tcfg.seg_weight * seg_loss
     if tcfg.llm_weight and "loss" in out:
         total = total + tcfg.llm_weight * out["loss"]
