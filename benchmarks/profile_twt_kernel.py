@@ -29,18 +29,20 @@ def sync(x):
     return np.asarray(sum(jnp.sum(l.astype(jnp.float32)) for l in leaves))
 
 
-def time_chained(fn, reps, *args, iters=3, warmup=1):
+def time_chained(fn, reps, *args, iters=3, warmup=1, chain=0):
     """fn(*args) -> pytree; chained reps inside one jit via a tiny
-    data-dependent perturbation of the first arg."""
+    data-dependent perturbation of args[chain].  Chain through a SMALL
+    argument: the perturbation copies that whole tensor every rep (a
+    512 MB keys carry costs ~1.25 ms/rep and swamps the kernel)."""
 
     @jax.jit
-    def run(x0, *rest):
+    def run(*a):
         def body(i, x):
-            out = fn(x, *rest)
+            out = fn(*a[:chain], x, *a[chain + 1:])
             lead = jax.tree.leaves(out)[0]
             bump = (lead.reshape(-1)[0] * jnp.asarray(1e-8, x.dtype))
             return x + bump  # invisible in bf16, defeats DCE/overlap
-        return jax.lax.fori_loop(0, reps, body, x0)
+        return jax.lax.fori_loop(0, reps, body, a[chain])
 
     for _ in range(warmup):
         sync(run(*args))
@@ -101,7 +103,8 @@ def main():
         return PD.fused_upscale_hypernet(keys, hyper, w1c, b1t, lns, lnb,
                                          w2bd, b2t)
 
-    print(f"upscale kernel: {time_chained(up, reps, keys, hyper):8.2f} ms",
+    print(f"upscale kernel: "
+          f"{time_chained(up, reps, keys, hyper, chain=1):8.2f} ms",
           flush=True)
 
     def upstats(keys, hyper):
@@ -109,9 +112,51 @@ def main():
             keys, hyper, w1c, b1t, lns, lnb, w2bd, b2t,
             thr=0.0, off=1.0, W=64, nm=3)
 
-    print(f"upscale+stats:  {time_chained(upstats, reps, keys, hyper):8.2f} ms",
+    print(f"upscale+stats:  "
+          f"{time_chained(upstats, reps, keys, hyper, chain=1):8.2f} ms",
           flush=True)
 
 
+def bench_decode_megakernel(ppb=256, reps=10):
+    """Time fused_decode_masks at AMG production shapes."""
+    from ullsam_tpu.core.config import SamConfig
+    from ullsam_tpu.core.tree import cast_floating
+    from ullsam_tpu.models.sam import mask_decoder as MD
+    from ullsam_tpu.ops.pallas import decoder as PD
+
+    cfg = SamConfig()
+    mcfg = cfg.mask_decoder
+    dec = cast_floating(MD.mask_decoder_init(jax.random.PRNGKey(0), mcfg),
+                        jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    N, C = 4096, 256
+    src = jnp.asarray(rng.randn(1, N, C), jnp.bfloat16)
+    pe = jnp.asarray(rng.randn(1, N, C), jnp.bfloat16)
+    toks = jnp.asarray(rng.randn(ppb, 7, C), jnp.bfloat16)
+    views = MD._upscale_weight_views(dec["upscale"])
+    packed = PD.pack_hyper_mlps([dec["hyper_mlps"][i] for i in (1, 2, 3)],
+                                dtype=jnp.bfloat16)
+
+    def run(toks, tw, src, pe):
+        return PD.fused_decode_masks(
+            tw, views, packed, src, pe, toks,
+            heads=mcfg.transformer_num_heads,
+            mlp_dim=mcfg.transformer_mlp_dim, eps=mcfg.ln_eps,
+            W=64, nm=3, thr=0.0, off=1.0, m_lo=1)
+
+    for P in (1, 2):
+        os.environ["ULLSAM_DECODE_P"] = str(P)
+        try:
+            t = time_chained(run, reps, toks, dec["transformer"], src, pe)
+            print(f"decode megakernel P={P}: {t:8.2f} ms ({ppb} prompts)",
+                  flush=True)
+        except Exception as e:
+            print(f"decode megakernel P={P}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--mega" in sys.argv:
+        bench_decode_megakernel()
+    else:
+        main()

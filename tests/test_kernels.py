@@ -280,3 +280,77 @@ def test_fused_upscale_stats_kernel_matches_xla():
     box = np.stack([left, top, right, bottom], axis=-1).astype(np.float32)
     box[empty] = 0
     np.testing.assert_array_equal(box, box_ref)
+
+
+def test_fused_decode_masks_matches_xla():
+    """The one-dispatch decode megakernel (TWT + hypernet MLPs + upscale
+    + stats, interpret mode) matches the composed XLA reference chain at
+    production layout (C=256, Cd=128, 8 heads, multimask M=3)."""
+    from ullsam_tpu.core.config import MaskDecoderConfig
+    from ullsam_tpu.ops import layers as L
+    from ullsam_tpu.models.sam.mask_decoder import (
+        _upscale_hypernet_cols, _upscale_weight_views, mask_decoder_init)
+    from ullsam_tpu.models.sam.two_way_transformer import (
+        two_way_transformer_apply)
+    from ullsam_tpu.ops.pallas import decoder as PD
+    from ullsam_tpu.inference.amg import (mask_to_box_cols,
+                                          stability_score_cols)
+
+    cfg = MaskDecoderConfig()
+    dec = mask_decoder_init(jax.random.PRNGKey(0), cfg)
+    B, T, C = 3, 7, cfg.transformer_dim
+    Hh = Ww = 32
+    N = Hh * Ww
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, Hh, Ww, C)) * 0.5
+    pe = jax.random.normal(jax.random.PRNGKey(2), (1, Hh, Ww, C)) * 0.5
+    toks = jax.random.normal(jax.random.PRNGKey(3), (B, T, C)) * 0.5
+
+    # XLA reference chain (multimask: heads 1..3 of nm=4)
+    hs_ref, keys_ref = two_way_transformer_apply(dec["transformer"], cfg,
+                                                 emb, pe, toks)
+    m_idx = range(1, cfg.num_mask_tokens)
+    hyper = jnp.stack(
+        [L.mlp_stack(dec["hyper_mlps"][i], hs_ref[:, 1 + i, :])
+         for i in m_idx], axis=1)
+    ref_cols = _upscale_hypernet_cols(dec["upscale"], hyper, keys_ref)
+
+    M = len(m_idx)
+    thr, off = 0.0, 1.0
+    assert PD.decode_shapes_ok(
+        C, C // cfg.attention_downsample_rate, cfg.transformer_num_heads,
+        cfg.transformer_depth, T, N, M)
+    q, cols, counts, rowany, colany = PD.fused_decode_masks(
+        dec["transformer"], _upscale_weight_views(dec["upscale"]),
+        PD.pack_hyper_mlps([dec["hyper_mlps"][i] for i in m_idx],
+                           dtype=jnp.float32),
+        emb.reshape(1, N, C), pe.reshape(1, N, C), toks,
+        heads=cfg.transformer_num_heads, mlp_dim=cfg.transformer_mlp_dim,
+        eps=cfg.ln_eps, W=Ww, nm=M, thr=thr, off=off, m_lo=m_idx.start,
+        interpret=True)
+
+    np.testing.assert_allclose(np.asarray(q, np.float32),
+                               np.asarray(hs_ref, np.float32),
+                               atol=2e-5, rtol=2e-5)
+    d = np.abs(np.asarray(cols, np.float32)
+               - np.asarray(ref_cols, np.float32))
+    assert d.max() <= 0.02 * np.abs(np.asarray(ref_cols)).max()
+
+    # stats vs the KERNEL's own cols (bit-identical logits in f32)
+    stab_ref = np.asarray(stability_score_cols(cols, M, thr, off))
+    hi = np.asarray(counts)[:, 0, :M]
+    lo = np.asarray(counts)[:, 1, :M]
+    np.testing.assert_allclose(hi / np.maximum(lo, 1.0), stab_ref,
+                               atol=1e-6)
+    box_ref = np.asarray(mask_to_box_cols(cols > thr, M, Hh, Ww))
+    any_row = np.asarray(rowany)[:, :M, :] > 0
+    any_col = np.asarray(colany)[:, :M, :] > 0
+    rows = np.arange(4 * Hh)
+    cols_i = np.arange(4 * Ww)
+    top = np.min(np.where(any_row, rows, 4 * Hh), axis=-1)
+    bottom = np.max(np.where(any_row, rows, -1), axis=-1)
+    left = np.min(np.where(any_col, cols_i, 4 * Ww), axis=-1)
+    right = np.max(np.where(any_col, cols_i, -1), axis=-1)
+    empty = ~any_row.any(axis=-1)
+    box = np.stack([left, top, right, bottom], axis=-1).astype(np.float32)
+    box[empty] = 0
+    np.testing.assert_array_equal(box, box_ref)

@@ -290,6 +290,31 @@ def predict_masks_cols_stats(params: dict, cfg: MaskDecoderConfig,
 
     from ullsam_tpu.ops.pallas import decoder as PD
     _, H, W, _ = src.shape
+    m_idx = (range(1, nm) if multimask_output is True
+             else range(0, 1) if multimask_output is False
+             else range(nm))
+    M = len(m_idx)
+
+    if (src.shape[0] == 1
+            and PD.decode_fused_supported(
+                d, d // cfg.attention_downsample_rate,
+                cfg.transformer_num_heads, cfg.transformer_depth,
+                tokens.shape[1], H * W, M)):
+        # one-dispatch megakernel: TWT + hypernet MLPs + upscale + stats
+        # with the per-prompt keys VMEM-resident (never in HBM)
+        hs, cols, counts, rowany, colany = PD.fused_decode_masks(
+            params["transformer"], _upscale_weight_views(params["upscale"]),
+            PD.pack_hyper_mlps([params["hyper_mlps"][i] for i in m_idx],
+                               dtype=src.dtype),
+            src.reshape(1, H * W, d), image_pe.reshape(1, H * W, d),
+            tokens, heads=cfg.transformer_num_heads,
+            mlp_dim=cfg.transformer_mlp_dim, eps=cfg.ln_eps, W=W, nm=M,
+            thr=float(thr), off=float(off), m_lo=m_idx.start)
+        iou_pred = L.mlp_stack(params["iou_head"],
+                               hs[:, 0, :])[:, list(m_idx)]
+        return cols, iou_pred, _stats_from_kernel(
+            counts, rowany, colany, M, H, W)
+
     if (src.shape[0] == 1
             and PD.twt_supported(d, d // cfg.attention_downsample_rate,
                                  cfg.transformer_num_heads,
@@ -305,14 +330,10 @@ def predict_masks_cols_stats(params: dict, cfg: MaskDecoderConfig,
                                              src, image_pe, tokens)
     iou_token_out = hs[:, 0, :]
     mask_tokens_out = hs[:, 1:1 + nm, :]
-    m_idx = (range(1, nm) if multimask_output is True
-             else range(0, 1) if multimask_output is False
-             else range(nm))
     hyper_in = jnp.stack(
         [L.mlp_stack(params["hyper_mlps"][i], mask_tokens_out[:, i, :])
          for i in m_idx], axis=1)  # [B, M, d/8]
     iou_pred = L.mlp_stack(params["iou_head"], iou_token_out)[:, list(m_idx)]
-    M = hyper_in.shape[1]
 
     if PD.supported(keys.shape, d) and M <= 8:
         w1c, b1t, lns, lnb, w2bd, b2t = _upscale_weight_views(
@@ -320,26 +341,33 @@ def predict_masks_cols_stats(params: dict, cfg: MaskDecoderConfig,
         cols, counts, rowany, colany = PD.fused_upscale_hypernet_stats(
             keys, hyper_in, w1c, b1t, lns, lnb, w2bd, b2t,
             W=W, nm=M, thr=float(thr), off=float(off))
-        hi = counts[:, 0, :M]
-        lo = counts[:, 1, :M]
-        stability = hi / jnp.maximum(lo, 1.0)
-        # boxes from the occupancy bitmaps (mask_to_box_cols semantics:
-        # inclusive edges, zeros for empty)
-        any_row = rowany[:, :M, :] > 0          # [B, M, 4H]
-        any_col = colany[:, :M, :] > 0          # [B, M, 4W]
-        rows = jnp.arange(4 * H)
-        cols_i = jnp.arange(4 * W)
-        top = jnp.min(jnp.where(any_row, rows, 4 * H), axis=-1)
-        bottom = jnp.max(jnp.where(any_row, rows, -1), axis=-1)
-        left = jnp.min(jnp.where(any_col, cols_i, 4 * W), axis=-1)
-        right = jnp.max(jnp.where(any_col, cols_i, -1), axis=-1)
-        empty = ~jnp.any(any_row, axis=-1)
-        boxes = jnp.stack([left, top, right, bottom], axis=-1)
-        boxes = jnp.where(empty[..., None], 0, boxes).astype(jnp.float32)
-        return cols, iou_pred, (stability, boxes)
+        return cols, iou_pred, _stats_from_kernel(
+            counts, rowany, colany, M, H, W)
 
     cols = _upscale_hypernet_cols(params["upscale"], hyper_in, keys)
     return cols, iou_pred, None
+
+
+def _stats_from_kernel(counts: Array, rowany: Array, colany: Array,
+                       M: int, H: int, W: int):
+    """(stability, boxes) from the in-kernel statistics outputs."""
+    hi = counts[:, 0, :M]
+    lo = counts[:, 1, :M]
+    stability = hi / jnp.maximum(lo, 1.0)
+    # boxes from the occupancy bitmaps (mask_to_box_cols semantics:
+    # inclusive edges, zeros for empty)
+    any_row = rowany[:, :M, :] > 0          # [B, M, 4H]
+    any_col = colany[:, :M, :] > 0          # [B, M, 4W]
+    rows = jnp.arange(4 * H)
+    cols_i = jnp.arange(4 * W)
+    top = jnp.min(jnp.where(any_row, rows, 4 * H), axis=-1)
+    bottom = jnp.max(jnp.where(any_row, rows, -1), axis=-1)
+    left = jnp.min(jnp.where(any_col, cols_i, 4 * W), axis=-1)
+    right = jnp.max(jnp.where(any_col, cols_i, -1), axis=-1)
+    empty = ~jnp.any(any_row, axis=-1)
+    boxes = jnp.stack([left, top, right, bottom], axis=-1)
+    boxes = jnp.where(empty[..., None], 0, boxes).astype(jnp.float32)
+    return stability, boxes
 
 
 def mask_decoder_apply(params: dict, cfg: MaskDecoderConfig,

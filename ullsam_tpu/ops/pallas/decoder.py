@@ -41,9 +41,12 @@ def _gelu(x: Array) -> Array:
     return (0.5 * f * (1.0 + jnp.tanh(inner))).astype(x.dtype)
 
 
-def _upscale_kernel(keys_ref, hbd_ref, w1_ref, b1_ref, lns_ref, lnb_ref,
-                    w2_ref, b2_ref, o_ref, *, c4: int, eps: float):
-    x = keys_ref[0]                                        # [TN, C] bf16
+def _upscale_core(x, w1_ref, b1_ref, lns_ref, lnb_ref, w2_ref, b2_ref,
+                  *, c4: int, eps: float):
+    """convT1-as-matmul + grouped LN + GELU + convT2-as-matmul + GELU on
+    one [TN, C] bf16 row block; returns u2 [TN, 2C] bf16 ready for the
+    hypernet contraction. Shared by the standalone upscale kernels and
+    the fused decode megakernel."""
     u1 = jax.lax.dot_general(
         x, w1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b1_ref[:]    # [TN, C] f32
@@ -71,8 +74,13 @@ def _upscale_kernel(keys_ref, hbd_ref, w1_ref, b1_ref, lns_ref, lnb_ref,
     u2 = jax.lax.dot_general(
         u1, w2_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b2_ref[:]    # [TN, 2C]
-    u2 = _gelu(u2).astype(x.dtype)
+    return _gelu(u2).astype(x.dtype)
 
+
+def _upscale_kernel(keys_ref, hbd_ref, w1_ref, b1_ref, lns_ref, lnb_ref,
+                    w2_ref, b2_ref, o_ref, *, c4: int, eps: float):
+    u2 = _upscale_core(keys_ref[0], w1_ref, b1_ref, lns_ref, lnb_ref,
+                       w2_ref, b2_ref, c4=c4, eps=eps)
     o_ref[0] = jax.lax.dot_general(
         u2, hbd_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
@@ -103,38 +111,31 @@ def _upscale_stats_kernel(keys_ref, hbd_ref, w1_ref, b1_ref, lns_ref,
         row_ref[0] = jnp.zeros_like(row_ref[0])
         col_ref[0] = jnp.zeros_like(col_ref[0])
 
-    x = keys_ref[0]
-    u1 = jax.lax.dot_general(
-        x, w1_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b1_ref[:]
-    C = u1.shape[-1]
-    gi = jax.lax.broadcasted_iota(jnp.int32, (C, 4), 0) // c4
-    gj = jax.lax.broadcasted_iota(jnp.int32, (C, 4), 1)
-    pool = (gi == gj).astype(f32) / c4
-    expand = jnp.transpose((gi == gj).astype(f32))
-    m1 = jax.lax.dot_general(u1, pool, (((1,), (0,)), ((), ())),
-                             preferred_element_type=f32)
-    m2 = jax.lax.dot_general(u1 * u1, pool, (((1,), (0,)), ((), ())),
-                             preferred_element_type=f32)
-    var = jnp.maximum(m2 - m1 * m1, 0.0)
-    inv = jax.lax.rsqrt(var + eps)
-    mean_full = jax.lax.dot_general(m1, expand, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=f32)
-    inv_full = jax.lax.dot_general(inv, expand, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=f32)
-    u1 = (u1 - mean_full) * inv_full * lns_ref[:] + lnb_ref[:]
-    u1 = _gelu(u1).astype(x.dtype)
-    u2 = jax.lax.dot_general(
-        u1, w2_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=f32) + b2_ref[:]
-    u2 = _gelu(u2).astype(x.dtype)
+    u2 = _upscale_core(keys_ref[0], w1_ref, b1_ref, lns_ref, lnb_ref,
+                       w2_ref, b2_ref, c4=c4, eps=eps)
     logits = jax.lax.dot_general(
         u2, hbd_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=f32)                        # [TN, nm*16]
     o_ref[0] = logits.astype(o_ref.dtype)
 
+    rows_blk = logits.shape[0] // W
+    cnt, row_add, col_add = _stats_of_block(
+        logits, base_row=n * rows_blk * 4, W=W, nm=nm, thr=thr, off=off,
+        H4=row_ref.shape[-1], W4=col_ref.shape[-1])
+    cnt_ref[0] = cnt_ref[0] + cnt
+    row_ref[0] = row_ref[0] + row_add
+    col_ref[0] = col_ref[0] + col_add
+
+
+def _stats_of_block(logits, *, base_row, W: int, nm: int, thr: float,
+                    off: float, H4: int, W4: int):
+    """Mask statistics of one [TN, nm*16] logit block, returned as
+    accumulator deltas: (cnt [8, 128] — row 0 = hi counts, row 1 = lo,
+    lanes [:nm]; row_any [8, H4]; col_any [8, W4]). `base_row` is the
+    spatial row offset of this block (4 * first grid row)."""
+    f32 = jnp.float32
     TN, L = logits.shape                                   # L = nm*16
-    rows_blk = TN // W                                     # grid rows here
+    rows_blk = TN // W
 
     def nn(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -149,8 +150,7 @@ def _upscale_stats_kernel(keys_ref, hbd_ref, w1_ref, b1_ref, lns_ref,
     hi = nn(jnp.sum(zhi, axis=0, keepdims=True), csel)     # [1, 128]
     lo = nn(jnp.sum(zlo, axis=0, keepdims=True), csel)
     rsel = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    cnt_ref[0] = cnt_ref[0] + jnp.where(
-        rsel == 0, hi, jnp.where(rsel == 1, lo, 0.0))
+    cnt = jnp.where(rsel == 0, hi, jnp.where(rsel == 1, lo, 0.0))
 
     # occupancy bitmaps. Sub-pixel layout: col = m*16 + di*8 + dj*4 +
     # ei*2 + ej; spatial row = 4*(grid_row) + 2di + ei, spatial col =
@@ -173,11 +173,8 @@ def _upscale_stats_kernel(keys_ref, hbd_ref, w1_ref, b1_ref, lns_ref,
     # placement: out[m, 4*pos + s] += part[pos, m*4 + s], accumulated.
     # Static loop over the 4 sub-offsets; each (extract, transpose-place)
     # pair is two small matmuls — lane-dim reshapes are not Mosaic-native.
-    H4 = row_ref.shape[-1]
-    W4 = col_ref.shape[-1]
-    row_acc = row_ref[0]
-    col_acc = col_ref[0]
-    base_row = n * rows_blk * 4
+    row_acc = jnp.zeros((8, H4), f32)
+    col_acc = jnp.zeros((8, W4), f32)
     for s in range(4):
         ex = (jax.lax.broadcasted_iota(jnp.int32, (nm * 4, nm), 0)
               == jax.lax.broadcasted_iota(jnp.int32, (nm * 4, nm), 1) * 4
@@ -201,8 +198,7 @@ def _upscale_stats_kernel(keys_ref, hbd_ref, w1_ref, b1_ref, lns_ref,
             jax.lax.dot_general(c_m, pc, (((0,), (0,)), ((), ())),
                                 preferred_element_type=f32),
             ((0, 8 - nm), (0, 0)))
-    row_ref[0] = row_acc
-    col_ref[0] = col_acc
+    return cnt, row_acc, col_acc
 
 
 @functools.partial(jax.jit, static_argnames=("W", "nm", "thr", "off",
@@ -396,12 +392,17 @@ def pack_twt_weights(tw: dict, mlp_dim: int, dtype=jnp.bfloat16):
             jnp.stack(bmlp_rows))
 
 
-def _twt_kernel(src_ref, tok_ref, k1_ref, v1_ref, qi1_ref,
-                pewk2_ref, pewq2_ref, pewkf_ref,
-                w256_ref, w128_ref, wfc2_ref, bias_ref, bmlp_ref,
-                q_out_ref, keys_ref, *, T: int, C: int, Cd: int,
-                heads: int, mlp_dim: int, eps: float, P: int = 1):
-    """P prompts per grid program (prompt-major row blocks): the fixed
+def _twt_compute(src_ref, tok_ref, k1_ref, v1_ref, qi1_ref,
+                 pewk2_ref, pewq2_ref, pewkf_ref,
+                 w256_ref, w128_ref, wfc2_ref, bias_ref, bmlp_ref,
+                 *, T: int, C: int, Cd: int,
+                 heads: int, mlp_dim: int, eps: float, P: int = 1):
+    """In-VMEM two-way-transformer compute shared by _twt_kernel and the
+    fused decode megakernel. Returns (q [P*_TP, C] bf16 post-final-norm,
+    keys: list of P [N, C] bf16 refined image embeddings) as VALUES —
+    callers decide what to write where.
+
+    P prompts per grid program (prompt-major row blocks): the fixed
     per-program overhead and the shared block-1 attention matmuls
     amortize over P prompts. Expansion rows r = p*HT + h*TP + t.
 
@@ -587,8 +588,6 @@ def _twt_kernel(src_ref, tok_ref, k1_ref, v1_ref, qi1_ref,
     upds = i2t(0, qi1_ref[:], qpe, q)
     keys = [ln(src_ref[:].astype(f32) + upds[pi], 0 * b_blk + 19, C)
             for pi in range(P)]
-    for pi in range(P):
-        keys_ref[0, pi] = keys[pi]
 
     # ---- block 2
     kv2, qi2 = project_block2(keys)
@@ -601,15 +600,27 @@ def _twt_kernel(src_ref, tok_ref, k1_ref, v1_ref, qi1_ref,
     upds = i2t(1, qi2, qpe, q)
     keys = [ln(keys[pi].astype(f32) + upds[pi], 1 * b_blk + 19, C)
             for pi in range(P)]
-    for pi in range(P):
-        keys_ref[0, pi] = keys[pi]
 
     # ---- final token->image attention + norm_final
     kvf = project_final(keys)
     qpe = (q.astype(f32) + tok0.astype(f32)).astype(bf)
     q = ln(q.astype(f32) + t2i(0, qpe, kvf, final=True),
            2 * b_blk + 4, C)
+    return q, keys
+
+
+def _twt_kernel(src_ref, tok_ref, k1_ref, v1_ref, qi1_ref,
+                pewk2_ref, pewq2_ref, pewkf_ref,
+                w256_ref, w128_ref, wfc2_ref, bias_ref, bmlp_ref,
+                q_out_ref, keys_ref, *, T: int, C: int, Cd: int,
+                heads: int, mlp_dim: int, eps: float, P: int = 1):
+    q, keys = _twt_compute(
+        src_ref, tok_ref, k1_ref, v1_ref, qi1_ref, pewk2_ref, pewq2_ref,
+        pewkf_ref, w256_ref, w128_ref, wfc2_ref, bias_ref, bmlp_ref,
+        T=T, C=C, Cd=Cd, heads=heads, mlp_dim=mlp_dim, eps=eps, P=P)
     q_out_ref[0] = q
+    for pi in range(P):
+        keys_ref[0, pi] = keys[pi]
 
 
 def twt_supported(C: int, Cd: int, heads: int, depth: int, T: int,
@@ -624,27 +635,16 @@ def twt_supported(C: int, Cd: int, heads: int, depth: int, T: int,
             and N % 8 == 0 and C // heads >= 8)
 
 
-def fused_two_way_transformer(tw: dict, image_embedding: Array,
-                              image_pe: Array, tokens: Array, *,
-                              heads: int, mlp_dim: int, eps: float,
-                              interpret: bool = False):
-    """Per-prompt fused depth-2 TwoWayTransformer (transformer.py:16-184).
-
-    image_embedding: [1, N, C] SHARED flattened image keys (embedding +
-    dense prompt); image_pe: [1 or none, N, C]; tokens: [B, T, C]
-    (iou/mask/prompt tokens per prompt). Returns (queries [B, T, C],
-    keys [B, N, C]) matching two_way_transformer_apply to bf16 tolerance.
-
-    Block-1's image-side projections (t2i keys/values, i2t image queries)
-    depend only on the shared embedding — they are computed ONCE in XLA
-    and passed in, so the kernel never redoes shared work per prompt.
-    """
+def _twt_prologue(tw: dict, image_embedding: Array, image_pe: Array,
+                  tokens: Array, mlp_dim: int):
+    """Shared-work prologue for the fused TWT / decode kernels: weight
+    packs + the image-side projections that depend only on the SHARED
+    embedding/pe, computed once in XLA."""
     layers = tw["layers"]
     B, T, C = tokens.shape
     src = image_embedding.reshape(-1, image_embedding.shape[-2],
                                   C)[0]                     # [N, C]
     pe = image_pe.reshape(-1, src.shape[0], C)[0].astype(src.dtype)
-    N = src.shape[0]
     Cd = layers[0]["cross_attn_t2i"]["q"]["kernel"].shape[1]
     dtype = src.dtype
 
@@ -674,12 +674,37 @@ def fused_two_way_transformer(tw: dict, image_embedding: Array,
     pewkf = lin_nb(tw["final_attn_t2i"]["k"], pe)
 
     toks = jnp.pad(tokens.astype(dtype), ((0, 0), (0, _TP - T), (0, 0)))
+    return (src, toks, k1, v1, qi1, pewk2, pewq2, pewkf,
+            w256, w128, wfc2, bias, bmlp, Cd)
+
+
+def fused_two_way_transformer(tw: dict, image_embedding: Array,
+                              image_pe: Array, tokens: Array, *,
+                              heads: int, mlp_dim: int, eps: float,
+                              interpret: bool = False):
+    """Per-prompt fused depth-2 TwoWayTransformer (transformer.py:16-184).
+
+    image_embedding: [1, N, C] SHARED flattened image keys (embedding +
+    dense prompt); image_pe: [1 or none, N, C]; tokens: [B, T, C]
+    (iou/mask/prompt tokens per prompt). Returns (queries [B, T, C],
+    keys [B, N, C]) matching two_way_transformer_apply to bf16 tolerance.
+
+    Block-1's image-side projections (t2i keys/values, i2t image queries)
+    depend only on the shared embedding — they are computed ONCE in XLA
+    and passed in, so the kernel never redoes shared work per prompt.
+    """
+    B, T, C = tokens.shape
+    (src, toks, k1, v1, qi1, pewk2, pewq2, pewkf,
+     w256, w128, wfc2, bias, bmlp, Cd) = _twt_prologue(
+        tw, image_embedding, image_pe, tokens, mlp_dim)
+    N = src.shape[0]
+    dtype = src.dtype
 
     # multiple prompts per program divide the fixed per-program overhead
-    # and share the block-1 attention passes (round-2 verdict item 2: one
-    # prompt/program left the 256-prompt chunk ~3x off its roofline).
-    # P=2 measured best on v5e; ULLSAM_TWT_P overrides for experiments.
-    want = int(os.environ.get("ULLSAM_TWT_P", "2"))
+    # and share the block-1 attention passes. P=1 measured best on v5e
+    # once the timing-harness carry bug was fixed (round 3);
+    # ULLSAM_TWT_P overrides for experiments.
+    want = int(os.environ.get("ULLSAM_TWT_P", "1"))
     P = max(p for p in (1, 2, 4, 8) if p <= max(want, 1) and B % p == 0)
     if P > 1:
         toks = toks.reshape(B // P, P * _TP, C)
@@ -726,3 +751,245 @@ def fused_two_way_transformer(tw: dict, image_embedding: Array,
     q_out = q_out.reshape(B, _TP, C)
     keys_out = keys_out.reshape(B, N, C)
     return q_out[:, :T], keys_out
+
+
+# ---------------------------------------------------------------------------
+# Fully fused decode megakernel: TWT + hypernet MLPs + upscale + statistics
+# ---------------------------------------------------------------------------
+#
+# The two-kernel decode (fused_two_way_transformer then
+# fused_upscale_hypernet_stats) round-trips the refined per-prompt image
+# keys through HBM: [256, 4096, 256] bf16 = 512 MB written and read back
+# per AMG chunk — the largest single HBM item in the whole decode. Here
+# ONE grid program runs the entire per-prompt pipeline
+# (transformer.py:16-184 + mask_decoder.py:53-69,112-148) with the keys
+# resident in VMEM, writing only the final block-column logits (~100 MB)
+# and token outputs. Statistics run ONCE per prompt on the full [N, nm*16]
+# logit tile (the per-512-row-block variant paid ~10 tiny placement
+# matmuls x 2048 blocks; here it is x256).
+
+
+def pack_hyper_mlps(mlps, dtype=jnp.bfloat16):
+    """Pack M 3-layer hypernetwork MLPs (mask_decoder.py:154-176; dims
+    [C, C, C, C//8]) into block-diagonal kernel arrays so one matmul
+    chain evaluates every selected head for every token row.
+
+    Returns (wh1 [C, M*C] concat, wh2 [M*C, M*C] block-diag,
+    wh3 [M*C, HL] block-diag with HL = ceil(M*C8/128)*128 lanes,
+    bh [3, M*C] f32 rows = per-layer biases, row 2 left-aligned to HL).
+    """
+    M = len(mlps)
+    C = mlps[0]["layers"][0]["kernel"].shape[0]
+    C8 = mlps[0]["layers"][2]["kernel"].shape[1]
+    HL = -(-M * C8 // 128) * 128
+    assert M * C >= HL, (M, C, HL)
+
+    wh1 = jnp.concatenate(
+        [m["layers"][0]["kernel"].astype(dtype) for m in mlps], axis=1)
+    wh2 = jnp.zeros((M * C, M * C), dtype)
+    wh3 = jnp.zeros((M * C, HL), dtype)
+    for i, m in enumerate(mlps):
+        wh2 = jax.lax.dynamic_update_slice(
+            wh2, m["layers"][1]["kernel"].astype(dtype), (i * C, i * C))
+        wh3 = jax.lax.dynamic_update_slice(
+            wh3, m["layers"][2]["kernel"].astype(dtype), (i * C, i * C8))
+
+    def brow(j, width, offs):
+        row = jnp.zeros((M * C,), jnp.float32)
+        for i, m in enumerate(mlps):
+            b = m["layers"][j].get("bias")
+            if b is not None:
+                row = jax.lax.dynamic_update_slice(
+                    row, b.astype(jnp.float32), (i * offs,))
+        return row
+
+    bh = jnp.stack([brow(0, C, C), brow(1, C, C), brow(2, C8, C8)])
+    return wh1, wh2, wh3, bh
+
+
+def _decode_kernel(src_ref, tok_ref, k1_ref, v1_ref, qi1_ref,
+                   pewk2_ref, pewq2_ref, pewkf_ref,
+                   w256_ref, w128_ref, wfc2_ref, bias_ref, bmlp_ref,
+                   wh1_ref, wh2_ref, wh3_ref, bh_ref,
+                   w1_ref, b1_ref, lns_ref, lnb_ref, w2_ref, b2_ref,
+                   q_out_ref, cols_ref, cnt_ref, row_ref, col_ref, *,
+                   T: int, C: int, Cd: int, heads: int, mlp_dim: int,
+                   eps: float, P: int, c4: int, up_eps: float, W: int,
+                   nm: int, thr: float, off: float, m_lo: int):
+    f32 = jnp.float32
+    bf = src_ref.dtype
+    TP = _TP
+    PT = P * TP
+    C8 = (wh3_ref.shape[0] // nm) // 8      # = C // 8
+    HL = wh3_ref.shape[1]
+    N = src_ref.shape[0]
+
+    def nn(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def nt(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    q, keys = _twt_compute(
+        src_ref, tok_ref, k1_ref, v1_ref, qi1_ref, pewk2_ref, pewq2_ref,
+        pewkf_ref, w256_ref, w128_ref, wfc2_ref, bias_ref, bmlp_ref,
+        T=T, C=C, Cd=Cd, heads=heads, mlp_dim=mlp_dim, eps=eps, P=P)
+    q_out_ref[0] = q
+
+    # hypernetwork MLPs: every selected head on every token row via the
+    # block-diagonal packs (the per-row head selection happens below)
+    h = jnp.maximum(nn(q, wh1_ref[:]) + bh_ref[0:1], 0.0).astype(bf)
+    h = jnp.maximum(nn(h, wh2_ref[:]) + bh_ref[1:2], 0.0).astype(bf)
+    h3 = (nn(h, wh3_ref[:])
+          + bh_ref[2:3, :HL]).astype(bf)    # [PT, HL], cols (m, c8)
+
+    L = nm * 16
+    # constants for the per-prompt hbd^T construction
+    keep = (jax.lax.broadcasted_iota(jnp.int32, (L, HL), 0) // 16
+            == jax.lax.broadcasted_iota(jnp.int32, (L, HL), 1) // C8
+            ).astype(bf)                    # row (m,e') keeps segment m
+    etile = (jax.lax.broadcasted_iota(jnp.int32, (HL, 2 * C), 0) % C8
+             == jax.lax.broadcasted_iota(jnp.int32, (HL, 2 * C), 1) % C8
+             ).astype(bf)                   # lane c8 -> every (e, c8)
+    emask = (jax.lax.broadcasted_iota(jnp.int32, (L, 2 * C), 0) % 16
+             == jax.lax.broadcasted_iota(jnp.int32, (L, 2 * C), 1) // C8
+             ).astype(f32)                  # (m,e') vs (e,c8): e' == e
+
+    for pi in range(P):
+        # rows of h3 holding this prompt's selected mask tokens: token
+        # row for the m-th selected head is pi*TP + 1 + m_lo + m
+        ri = jax.lax.broadcasted_iota(jnp.int32, (L, PT), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (L, PT), 1)
+        R = (ci == pi * TP + 1 + m_lo + ri // 16).astype(bf)
+        G = nn(R, h3).astype(bf)            # [L, HL] row (m,e') = hyper row
+        G = (G * keep).astype(bf)
+        hbdT = (nn(G, etile) * emask).astype(bf)   # [L, 2C]
+
+        u2 = _upscale_core(keys[pi], w1_ref, b1_ref, lns_ref, lnb_ref,
+                           w2_ref, b2_ref, c4=c4, eps=up_eps)  # [N, 2C]
+        logits = nt(u2, hbdT)               # [N, L] f32
+        cols_ref[0, pi] = logits.astype(cols_ref.dtype)
+
+        cnt, row_acc, col_acc = _stats_of_block(
+            logits, base_row=0, W=W, nm=nm, thr=thr, off=off,
+            H4=row_ref.shape[-1], W4=col_ref.shape[-1])
+        cnt_ref[0, pi] = cnt
+        row_ref[0, pi] = row_acc
+        col_ref[0, pi] = col_acc
+
+
+def decode_shapes_ok(C: int, Cd: int, heads: int, depth: int, T: int,
+                     N: int, nm: int) -> bool:
+    """Shape-only eligibility for the decode megakernel: the TWT layout
+    constraints plus the upscale/stats lane constraints."""
+    return (heads * _TP == 128 and depth == 2 and T <= _TP
+            and C % 128 == 0 and Cd % 128 == 0 and Cd // heads >= 8
+            and C // heads >= 8 and N % 512 == 0 and 1 <= nm <= 8
+            # hypernet pack: wh3's padded lane width must fit in nm*C rows
+            and nm * C >= -(-nm * (C // 8) // 128) * 128)
+
+
+def decode_fused_supported(C: int, Cd: int, heads: int, depth: int, T: int,
+                           N: int, nm: int) -> bool:
+    """The megakernel engages for SAM production shapes on a real TPU."""
+    from ullsam_tpu.ops.pallas import backend_ok
+    return backend_ok() and decode_shapes_ok(C, Cd, heads, depth, T, N, nm)
+
+
+def fused_decode_masks(tw: dict, up_views, hyper_packed,
+                       image_embedding: Array, image_pe: Array,
+                       tokens: Array, *, heads: int, mlp_dim: int,
+                       eps: float, W: int, nm: int, thr: float, off: float,
+                       m_lo: int, interpret: bool = False):
+    """One-dispatch per-prompt SAM decode: TwoWayTransformer + hypernet
+    MLPs + 4x upscale + hypernet contraction + mask statistics
+    (transformer.py:16-184, mask_decoder.py:53-69,112-148), with the
+    refined per-prompt image keys VMEM-resident — they never touch HBM.
+
+    up_views: mask_decoder._upscale_weight_views output;
+    hyper_packed: pack_hyper_mlps output for the SELECTED heads (m_lo =
+    first selected mask-token index, selection must be contiguous).
+    Returns (q [B, T, C], cols [B, N, nm*16] in block-column layout,
+    counts [B, 8, 128] f32 hi/lo pixel counts, row_any [B, 8, 4H],
+    col_any [B, 8, 4W] occupancy bitmaps).
+    """
+    B, T, C = tokens.shape
+    (src, toks, k1, v1, qi1, pewk2, pewq2, pewkf,
+     w256, w128, wfc2, bias, bmlp, Cd) = _twt_prologue(
+        tw, image_embedding, image_pe, tokens, mlp_dim)
+    N = src.shape[0]
+    H = N // W
+    dtype = src.dtype
+    w1c, b1t, lns, lnb, w2bd, b2t = up_views
+    wh1, wh2, wh3, bh = hyper_packed
+
+    want = int(os.environ.get("ULLSAM_DECODE_P", "1"))
+    P = max(p for p in (1, 2, 4, 8) if p <= max(want, 1) and B % p == 0)
+    if P > 1:
+        toks = toks.reshape(B // P, P * _TP, C)
+    nprog = B // P
+
+    kernel = functools.partial(
+        _decode_kernel, T=T, C=C, Cd=Cd, heads=heads, mlp_dim=mlp_dim,
+        eps=eps, P=P, c4=C // 4, up_eps=1e-6, W=W, nm=nm, thr=thr,
+        off=off, m_lo=m_lo)
+    const = lambda b: (0, 0)  # noqa: E731
+    q_out, cols, counts, rowany, colany = pl.pallas_call(
+        kernel,
+        grid=(nprog,),
+        in_specs=[
+            pl.BlockSpec((N, C), const),
+            pl.BlockSpec((1, P * _TP, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((N, Cd), const),
+            pl.BlockSpec((N, Cd), const),
+            pl.BlockSpec((N, Cd), const),
+            pl.BlockSpec((N, Cd), const),
+            pl.BlockSpec((N, Cd), const),
+            pl.BlockSpec((N, Cd), const),
+            pl.BlockSpec(w256.shape, const),
+            pl.BlockSpec(w128.shape, const),
+            pl.BlockSpec(wfc2.shape, const),
+            pl.BlockSpec(bias.shape, const),
+            pl.BlockSpec(bmlp.shape, const),
+            pl.BlockSpec(wh1.shape, const),
+            pl.BlockSpec(wh2.shape, const),
+            pl.BlockSpec(wh3.shape, const),
+            pl.BlockSpec(bh.shape, const),
+            pl.BlockSpec(w1c.shape, const),
+            pl.BlockSpec(b1t.shape, const),
+            pl.BlockSpec(lns.shape, const),
+            pl.BlockSpec(lnb.shape, const),
+            pl.BlockSpec(w2bd.shape, const),
+            pl.BlockSpec(b2t.shape, const),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, P * _TP, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, P, N, nm * 16), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, P, 8, 128), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, P, 8, 4 * H), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, P, 8, 4 * W), lambda b: (b, 0, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nprog, P * _TP, C), dtype),
+            jax.ShapeDtypeStruct((nprog, P, N, nm * 16), dtype),
+            jax.ShapeDtypeStruct((nprog, P, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nprog, P, 8, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((nprog, P, 8, 4 * W), jnp.float32),
+        ),
+        # keys + f32 upscale transients live alongside the TWT residents;
+        # the cap is an allowance, not an allocation (v5e: 128 MB VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(72 + 32 * max(P - 1, 0)) * 1024 * 1024),
+        interpret=interpret,
+    )(src, toks, k1, v1, qi1, pewk2, pewq2, pewkf,
+      w256, w128, wfc2, bias, bmlp, wh1, wh2, wh3, bh,
+      w1c.astype(dtype), b1t, lns, lnb, w2bd.astype(dtype), b2t)
+
+    q_out = q_out.reshape(B, _TP, C)[:, :T]
+    cols = cols.reshape(B, N, nm * 16)
+    counts = counts.reshape(B, 8, 128)
+    rowany = rowany.reshape(B, 8, 4 * H)
+    colany = colany.reshape(B, 8, 4 * W)
+    return q_out, cols, counts, rowany, colany
