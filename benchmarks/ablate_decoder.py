@@ -96,9 +96,15 @@ def main():
             PD._gelu = real_gelu
             jnp.exp = real_exp
             jnp.tanh = real_tanh
+            for obj, attr, val in restores:
+                setattr(obj, attr, val)
 
     cheap_exp = lambda x: x * 0.5 + 1.0          # noqa: E731
     relu = lambda x: jnp.maximum(x, 0)           # noqa: E731
+    # baseline values for every attr any case patches (restored after
+    # each case so a patch never leaks into the next one)
+    restores = [(PD, "_stats_of_block", PD._stats_of_block),
+                (PD, "_upscale_core", PD._upscale_core)]
 
     print("upscale kernel:", flush=True)
     run_case("full", up, keys, hyper)
@@ -122,6 +128,49 @@ def main():
     print("upscale bf16-native gelu:", flush=True)
     run_case("gelu bf16 (no f32 cast)", up, keys, hyper,
              patches=[(PD, "_gelu", gelu_bf16)])
+
+    # ---- decode megakernel (TWT + hypernet + upscale + stats) ----
+    views = MD._upscale_weight_views(dec["upscale"])
+    packed = PD.pack_hyper_mlps([dec["hyper_mlps"][i] for i in (1, 2, 3)],
+                                dtype=jnp.bfloat16)
+
+    def mega(toks, tw, src, pe):
+        return PD.fused_decode_masks(
+            tw, views, packed, src, pe, toks,
+            heads=mcfg.transformer_num_heads,
+            mlp_dim=mcfg.transformer_mlp_dim, eps=mcfg.ln_eps,
+            W=64, nm=3, thr=0.0, off=1.0, m_lo=1)
+
+    real_stats = PD._stats_of_block
+    real_upcore = PD._upscale_core
+
+    def no_stats(logits, **kw):
+        z = jnp.zeros((8, 128), jnp.float32)
+        return z, jnp.zeros((8, kw["H4"]), jnp.float32), \
+            jnp.zeros((8, kw["W4"]), jnp.float32)
+
+    def cheap_upcore(x, w1_ref, b1_ref, lns_ref, lnb_ref, w2_ref, b2_ref,
+                     *, c4, eps):
+        # ONE [N, C]x[C, 2C] matmul stand-in: isolates the real upscale
+        # chain's extra matmuls + LN/GELU from the logits contraction
+        return jax.lax.dot_general(
+            x, w2_ref[:x.shape[-1], :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+
+    for P in (1, 2):
+        os.environ["ULLSAM_DECODE_P"] = str(P)
+        print(f"decode megakernel (P={P}):", flush=True)
+        run_case("full", mega, toks, dec["transformer"], src, pe)
+        run_case("exp->poly (all softmax)", mega, toks, dec["transformer"],
+                 src, pe, patches=[(jnp, "exp", cheap_exp)])
+        run_case("stats->zeros", mega, toks, dec["transformer"], src, pe,
+                 patches=[(PD, "_stats_of_block", no_stats)])
+        run_case("upscale->1matmul", mega, toks, dec["transformer"], src,
+                 pe, patches=[(PD, "_upscale_core", cheap_upcore)])
+        run_case("gelu->relu", mega, toks, dec["transformer"], src, pe,
+                 patches=[(PD, "_gelu", relu)])
+        PD._stats_of_block = real_stats
+        PD._upscale_core = real_upcore
 
 
 if __name__ == "__main__":

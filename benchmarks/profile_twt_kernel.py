@@ -144,7 +144,7 @@ def bench_decode_megakernel(ppb=256, reps=10):
             mlp_dim=mcfg.transformer_mlp_dim, eps=mcfg.ln_eps,
             W=64, nm=3, thr=0.0, off=1.0, m_lo=1)
 
-    for P in (1, 2):
+    for P in (1, 2, 4):
         os.environ["ULLSAM_DECODE_P"] = str(P)
         try:
             t = time_chained(run, reps, toks, dec["transformer"], src, pe)

@@ -153,9 +153,11 @@ def test_decode_masks_cols_matches_decode_masks():
         np.testing.assert_allclose(np.asarray(b1), np.asarray(b2))
 
 
-def test_fused_two_way_transformer_matches_xla():
+def test_fused_two_way_transformer_matches_xla(monkeypatch):
     """Per-prompt fused TwoWayTransformer kernel (interpret mode) vs the
-    XLA reference at production head/dim layout (C=256, Cd=128, 8 heads)."""
+    XLA reference at production head/dim layout (C=256, Cd=128, 8 heads),
+    at P=1 and P=2 prompts/program (P=2 takes the concatenated
+    image-side-projection path)."""
     from ullsam_tpu.core.config import MaskDecoderConfig
     from ullsam_tpu.models.sam.two_way_transformer import (
         two_way_transformer_init, two_way_transformer_apply)
@@ -190,6 +192,18 @@ def test_fused_two_way_transformer_matches_xla():
                                atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(k1, np.float32),
                                np.asarray(keys_ref[:1], np.float32),
+                               atol=2e-5, rtol=2e-5)
+    # P=2: both prompts in one program, concat image-side projections
+    monkeypatch.setenv("ULLSAM_TWT_P", "2")
+    q2, k2 = PD.fused_two_way_transformer(
+        tw, emb.reshape(1, -1, C), pe.reshape(1, -1, C), toks,
+        heads=cfg.transformer_num_heads, mlp_dim=cfg.transformer_mlp_dim,
+        eps=cfg.ln_eps, interpret=True)
+    np.testing.assert_allclose(np.asarray(q2, np.float32),
+                               np.asarray(hs_ref, np.float32),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(k2, np.float32),
+                               np.asarray(keys_ref, np.float32),
                                atol=2e-5, rtol=2e-5)
 
 
@@ -282,10 +296,11 @@ def test_fused_upscale_stats_kernel_matches_xla():
     np.testing.assert_array_equal(box, box_ref)
 
 
-def test_fused_decode_masks_matches_xla():
+def test_fused_decode_masks_matches_xla(monkeypatch):
     """The one-dispatch decode megakernel (TWT + hypernet MLPs + upscale
     + stats, interpret mode) matches the composed XLA reference chain at
-    production layout (C=256, Cd=128, 8 heads, multimask M=3)."""
+    production layout (C=256, Cd=128, 8 heads, multimask M=3); B=3 runs
+    P=1, then a B=2 rerun at P=2 covers the multi-prompt program."""
     from ullsam_tpu.core.config import MaskDecoderConfig
     from ullsam_tpu.ops import layers as L
     from ullsam_tpu.models.sam.mask_decoder import (
@@ -354,3 +369,141 @@ def test_fused_decode_masks_matches_xla():
     box = np.stack([left, top, right, bottom], axis=-1).astype(np.float32)
     box[empty] = 0
     np.testing.assert_array_equal(box, box_ref)
+
+    # P=2: two prompts per program (concat image-side projections)
+    monkeypatch.setenv("ULLSAM_DECODE_P", "2")
+    q2, cols2, counts2, _, _ = PD.fused_decode_masks(
+        dec["transformer"], _upscale_weight_views(dec["upscale"]),
+        PD.pack_hyper_mlps([dec["hyper_mlps"][i] for i in m_idx],
+                           dtype=jnp.float32),
+        emb.reshape(1, N, C), pe.reshape(1, N, C), toks[:2],
+        heads=cfg.transformer_num_heads, mlp_dim=cfg.transformer_mlp_dim,
+        eps=cfg.ln_eps, W=Ww, nm=M, thr=thr, off=off, m_lo=m_idx.start,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(q2, np.float32),
+                               np.asarray(hs_ref[:2], np.float32),
+                               atol=2e-5, rtol=2e-5)
+    d2 = np.abs(np.asarray(cols2, np.float32)
+                - np.asarray(ref_cols[:2], np.float32))
+    assert d2.max() <= 0.02 * np.abs(np.asarray(ref_cols)).max()
+    np.testing.assert_allclose(np.asarray(counts2),
+                               np.asarray(counts)[:2], atol=1e-6)
+
+
+def test_fused_vit_block_kernels_match_xla_block(monkeypatch):
+    """fused_window_attn + fused_ln_mlp (interpret mode) vs the XLA block
+    on a PADDED window grid with batch 2, at P=1 and P=2 windows/program,
+    plus gradient parity through the custom vjps."""
+    from ullsam_tpu.core.config import ViTConfig
+    from ullsam_tpu.models.sam import image_encoder as IE
+    from ullsam_tpu.ops.pallas import vit_block as VB
+
+    cfg = ViTConfig(img_size=40, patch_size=4, embed_dim=128, depth=1,
+                    num_heads=2, window_size=4, global_attn_indexes=(),
+                    use_abs_pos=False)
+    ws = cfg.window_size
+    key = jax.random.PRNGKey(0)
+    blk = IE._block_init(key, cfg, ws)
+    # zero-init rel-pos would hide bias bugs: randomize
+    blk["attn"]["rel_pos_h"] = jax.random.normal(
+        jax.random.PRNGKey(1), blk["attn"]["rel_pos_h"].shape) * 0.2
+    blk["attn"]["rel_pos_w"] = jax.random.normal(
+        jax.random.PRNGKey(2), blk["attn"]["rel_pos_w"].shape) * 0.2
+
+    B, H, W = 2, 10, 10                     # grid 10x10 pads to 12x12
+    x = (jax.random.normal(jax.random.PRNGKey(3), (B, H, W, cfg.embed_dim))
+         * 0.5).astype(jnp.bfloat16)
+    xw, pad_hw = IE.window_partition(x, ws)
+    ones = jnp.ones((1, H, W, 1), x.dtype)
+    pad_mask, _ = IE.window_partition(ones, ws)
+    pad_mask = jnp.tile(pad_mask, (B, 1, 1, 1))
+    geom = (pad_hw[1] // ws, pad_hw[0] // ws, H, W, True)
+
+    ref = IE._block_windowed_prepartitioned(blk, xw, cfg, pad_mask,
+                                            allow_window_kernel=False)
+
+    monkeypatch.setattr("ullsam_tpu.ops.pallas.backend_ok", lambda: True)
+    monkeypatch.setenv("ULLSAM_FUSED_VIT_MLP", "1")
+    monkeypatch.setenv("ULLSAM_FUSED_VIT_ATTN", "1")
+    for P in ("1", "2"):
+        monkeypatch.setenv("ULLSAM_VIT_ATTN_P", P)
+        with pltpu.force_tpu_interpret_mode():
+            out = IE._block_windowed_prepartitioned(
+                blk, xw, cfg, None, allow_window_kernel=True, geom=geom)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=5e-2, rtol=5e-2)
+
+    # f32 gradient parity of each fused half against its exact XLA math
+    Bw, _, _, C = xw.shape
+    n = ws * ws
+    x3 = jnp.asarray(np.asarray(xw, np.float32)).reshape(Bw, n, C)
+    qkvw, bqkv, wo, bo = VB.pack_window_attn_weights(
+        blk, cfg.num_heads, cfg.head_dim, jnp.float32)
+    rhf, rwf = IE._rel_tables_packed(blk["attn"], ws, ws, cfg.head_dim,
+                                     jnp.float32)
+    lns = blk["norm1"]["scale"][None]
+    lnb = blk["norm1"]["bias"][None]
+    nwx, nwy = geom[0], geom[1]
+    wm = (jnp.arange(Bw)[:, None] % (nwy * nwx))
+    t = jnp.arange(n)[None, :]
+    mask = (((wm // nwx) * ws + t // ws < H)
+            & ((wm % nwx) * ws + t % ws < W)).astype(jnp.float32)[..., None]
+
+    def f_kernel(a):
+        return jnp.sum(VB._window_attn_call(
+            a, lns, lnb, qkvw, bqkv, wo, bo, rhf, rwf, 1, cfg.num_heads,
+            cfg.head_dim, ws, ws, cfg.ln_eps, nwx, nwy, H, W, True) ** 2)
+
+    def f_ref(a):
+        return jnp.sum(VB._window_attn_xla(
+            a, lns, lnb, qkvw, bqkv, wo, bo, rhf, rwf, mask,
+            cfg.num_heads, cfg.head_dim, ws, ws, cfg.ln_eps) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        out_k = VB._window_attn_call(x3, lns, lnb, qkvw, bqkv, wo, bo,
+                                     rhf, rwf, 1, cfg.num_heads,
+                                     cfg.head_dim, ws, ws, cfg.ln_eps,
+                                     nwx, nwy, H, W, True)
+        g_k = jax.grad(f_kernel)(x3)
+    np.testing.assert_allclose(
+        np.asarray(out_k),
+        np.asarray(VB._window_attn_xla(x3, lns, lnb, qkvw, bqkv, wo, bo,
+                                       rhf, rwf, mask, cfg.num_heads,
+                                       cfg.head_dim, ws, ws, cfg.ln_eps)),
+        atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(jax.grad(f_ref)(x3)),
+                               atol=1e-3, rtol=1e-3)
+
+    # fused_ln_mlp half: f32 value + grad parity (with row padding: 75
+    # rows forces the pad-to-block path)
+    x2 = jax.random.normal(jax.random.PRNGKey(4), (75, C)) * 0.5
+    mlns = blk["norm2"]["scale"][None]
+    mlnb = blk["norm2"]["bias"][None]
+    w1 = blk["mlp"]["fc1"]["kernel"]
+    b1 = blk["mlp"]["fc1"]["bias"][None]
+    w2 = blk["mlp"]["fc2"]["kernel"]
+    b2 = blk["mlp"]["fc2"]["bias"][None]
+
+    def m_kernel(a):
+        ap = jnp.pad(a, ((0, 128 - 75), (0, 0)))
+        return jnp.sum(VB._ln_mlp_call(ap, mlns, mlnb, w1, b1, w2, b2,
+                                       cfg.ln_eps, 128)[:75] ** 2)
+
+    def m_ref(a):
+        return jnp.sum(VB._ln_mlp_xla(a, mlns, mlnb, w1, b1, w2, b2,
+                                      cfg.ln_eps) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        ap = jnp.pad(x2, ((0, 128 - 75), (0, 0)))
+        val_k = VB._ln_mlp_call(ap, mlns, mlnb, w1, b1, w2, b2,
+                                cfg.ln_eps, 128)[:75]
+        gm_k = jax.grad(m_kernel)(x2)
+    np.testing.assert_allclose(
+        np.asarray(val_k),
+        np.asarray(VB._ln_mlp_xla(x2, mlns, mlnb, w1, b1, w2, b2,
+                                  cfg.ln_eps)),
+        atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gm_k),
+                               np.asarray(jax.grad(m_ref)(x2)),
+                               atol=1e-3, rtol=1e-3)

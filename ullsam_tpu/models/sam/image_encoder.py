@@ -128,6 +128,19 @@ def _use_window_kernel(cfg: ViTConfig, H: int, W: int) -> bool:
     return 4 <= H * W < 1024 and H <= 32 and W <= 32
 
 
+def _rel_tables_packed(params: dict, H: int, W: int, hd: int, dtype):
+    """Gathered rel-pos tables in the packed-kernel layout: rhf [128, H*H]
+    with rhf[d, r*W + i] = Rh[r, i, d] (pad rows zero), likewise rwf."""
+    from ullsam_tpu.ops.pallas.flash_attention import _HP
+    Rh = A.get_rel_pos(H, H, params["rel_pos_h"]).astype(dtype)
+    rhf = jnp.pad(jnp.transpose(Rh, (2, 0, 1)).reshape(hd, H * H),
+                  ((0, _HP - hd), (0, 0)))
+    Rw = A.get_rel_pos(W, W, params["rel_pos_w"]).astype(dtype)
+    rwf = jnp.pad(jnp.transpose(Rw, (2, 0, 1)).reshape(hd, W * W),
+                  ((0, _HP - hd), (0, 0)))
+    return rhf, rwf
+
+
 def _vit_attention_window_packed(params: dict, x: Array,
                                  cfg: ViTConfig) -> Array:
     """Windowed attention with NO head-split layout in HBM.
@@ -155,13 +168,7 @@ def _vit_attention_window_packed(params: dict, x: Array,
                               ((0, 0), (0, 0), (0, _HP - hd))).reshape(-1)
     qkvp = qkvp.astype(x.dtype)
 
-    Rh = A.get_rel_pos(H, H, params["rel_pos_h"]).astype(x.dtype)
-    rhf = jnp.pad(jnp.transpose(Rh, (2, 0, 1)).reshape(hd, H * H),
-                  ((0, _HP - hd), (0, 0)))
-    Rw = A.get_rel_pos(W, W, params["rel_pos_w"]).astype(x.dtype)
-    rwf = jnp.pad(jnp.transpose(Rw, (2, 0, 1)).reshape(hd, W * W),
-                  ((0, _HP - hd), (0, 0)))
-
+    rhf, rwf = _rel_tables_packed(params, H, W, hd, x.dtype)
     out = vit_window_attention_packed(qkvp, rhf, rwf, nh, hd, H, W)
 
     wo = params["proj"]["kernel"].astype(x.dtype)           # [nh*hd, C]
@@ -210,32 +217,68 @@ def _vit_attention(params: dict, x: Array, cfg: ViTConfig,
     return L.linear(params["proj"], out)
 
 
-def _block_apply(params: dict, x: Array, cfg: ViTConfig, window_size: int,
-                 allow_window_kernel: bool = True) -> Array:
-    shortcut = x
-    x = L.layer_norm(params["norm1"], x, eps=cfg.ln_eps)
-    if window_size > 0:
-        H, W = x.shape[1], x.shape[2]
-        x, pad_hw = window_partition(x, window_size)
-    x = _vit_attention(params["attn"], x, cfg,
-                       allow_window_kernel=allow_window_kernel)
-    if window_size > 0:
-        x = window_unpartition(x, window_size, pad_hw, (H, W))
-    x = shortcut + x
+def _ln_mlp_half(params: dict, x: Array, cfg: ViTConfig,
+                 allow_kernels: bool) -> Array:
+    """x + mlp(LN2(x)) — fused Pallas chain on TPU, XLA otherwise."""
+    if allow_kernels:
+        from ullsam_tpu.ops.pallas import vit_block as VB
+        C = x.shape[-1]
+        F = params["mlp"]["fc1"]["kernel"].shape[1]
+        if VB.ln_mlp_supported(x.size // C, C, F):
+            return VB.fused_ln_mlp(x, params["norm2"], params["mlp"],
+                                   eps=cfg.ln_eps)
     return x + L.mlp_block(params["mlp"], L.layer_norm(params["norm2"], x,
                                                        eps=cfg.ln_eps))
 
 
+def _block_apply(params: dict, x: Array, cfg: ViTConfig, window_size: int,
+                 allow_window_kernel: bool = True) -> Array:
+    shortcut = x
+    h = L.layer_norm(params["norm1"], x, eps=cfg.ln_eps)
+    if window_size > 0:
+        H, W = h.shape[1], h.shape[2]
+        h, pad_hw = window_partition(h, window_size)
+    h = _vit_attention(params["attn"], h, cfg,
+                       allow_window_kernel=allow_window_kernel)
+    if window_size > 0:
+        h = window_unpartition(h, window_size, pad_hw, (H, W))
+    x = shortcut + h
+    return _ln_mlp_half(params, x, cfg, allow_window_kernel)
+
+
 def _block_windowed_prepartitioned(params: dict, x: Array, cfg: ViTConfig,
                                    pad_mask,
-                                   allow_window_kernel: bool = True) -> Array:
+                                   allow_window_kernel: bool = True,
+                                   geom=None) -> Array:
     """Window block operating on an ALREADY-partitioned [B*nw, ws, ws, C]
     grid. Matches the reference exactly: it zero-pads the normed
     activations before each block's attention (image_encoder.py:166-182),
     which here is a multiply by the pad mask — all other ops are pointwise,
     so the partitioned layout persists across consecutive window blocks and
     the 6-D partition/unpartition transposes (20% of encode time) happen
-    once per RUN instead of once per block."""
+    once per RUN instead of once per block.
+
+    On TPU both block halves run as fused Pallas kernels
+    (ops/pallas/vit_block.py): LN1+qkv+window-attention+proj+residual and
+    LN2+MLP+residual; `geom` = (nwx, nwy, Hv, Wv, masked) supplies the
+    window-grid geometry so the pad mask is rebuilt in-kernel."""
+    Bw, wsh, wsw, C = x.shape
+    n = wsh * wsw
+    if allow_window_kernel and geom is not None and cfg.use_rel_pos:
+        from ullsam_tpu.ops.pallas import vit_block as VB
+        if (wsh == wsw and cfg.head_dim <= 128
+                and VB.window_attn_supported(n, C, cfg.num_heads,
+                                             cfg.head_dim)):
+            nwx, nwy, Hv, Wv, masked = geom
+            rhf, rwf = _rel_tables_packed(params["attn"], wsh, wsw,
+                                          cfg.head_dim, x.dtype)
+            h = VB.fused_window_attn(
+                x.reshape(Bw, n, C), params, rhf, rwf,
+                nh=cfg.num_heads, hd=cfg.head_dim, kh=wsh, kw=wsw,
+                eps=cfg.ln_eps, nwx=nwx, nwy=nwy, Hv=Hv, Wv=Wv,
+                masked=masked)
+            h = _ln_mlp_half(params, h, cfg, True)
+            return h.reshape(Bw, wsh, wsw, C)
     shortcut = x
     h = L.layer_norm(params["norm1"], x, eps=cfg.ln_eps)
     if pad_mask is not None:
@@ -243,8 +286,7 @@ def _block_windowed_prepartitioned(params: dict, x: Array, cfg: ViTConfig,
     h = _vit_attention(params["attn"], h, cfg,
                        allow_window_kernel=allow_window_kernel)
     x = shortcut + h
-    return x + L.mlp_block(params["mlp"], L.layer_norm(params["norm2"], x,
-                                                       eps=cfg.ln_eps))
+    return _ln_mlp_half(params, x, cfg, allow_window_kernel)
 
 
 def _patch_embed(params: dict, x: Array, cfg: ViTConfig) -> Array:
@@ -301,11 +343,12 @@ def image_encoder_apply(params: dict, x: Array, cfg: ViTConfig,
             ones = jnp.ones((1, H, W, 1), x.dtype)
             pad_mask, _ = window_partition(ones, ws)  # [nw, ws, ws, 1]
             pad_mask = jnp.tile(pad_mask, (B, 1, 1, 1))
+        geom = (pad_hw[1] // ws, pad_hw[0] // ws, H, W, pad_hw != (H, W))
         for k in range(i, j):
             blk = params["blocks"][k]
             xw = wrap(lambda p, y: _block_windowed_prepartitioned(
-                p, y, cfg, pad_mask,
-                allow_window_kernel=not remat))(blk, xw)
+                p, y, cfg, pad_mask, allow_window_kernel=not remat,
+                geom=geom))(blk, xw)
         x = window_unpartition(xw, ws, pad_hw, (H, W))
         i = j
     # neck: 1x1 conv -> LN(channel) -> 3x3 conv(same) -> LN(channel)

@@ -478,16 +478,21 @@ def _twt_compute(src_ref, tok_ref, k1_ref, v1_ref, qi1_ref,
         return (nn(out.astype(bf), w256_ref[:, ow + 3 * C:ow + 4 * C])
                 + brow(ob + 3, C))
 
+    N = src_ref.shape[0]
+
     def project_block2(keys):
-        """Per-prompt image-side projections for block 2: ONE [N, 3Cd]
-        matmul covers t2i.k, t2i.v, i2t.q (contiguous in the w256
-        pack); the pe-dependent halves of k and qi are the shared
-        precomputed pewk2/pewq2. Returns ([(k, v)], [qi]) bf16."""
+        """Per-prompt image-side projections for block 2: ONE [P*N, 3Cd]
+        matmul covers t2i.k, t2i.v, i2t.q for ALL P prompts (the three
+        kernels are contiguous in the w256 pack, the P keys concatenate
+        on the sublane axis); the pe-dependent halves of k and qi are
+        the shared precomputed pewk2/pewq2. Returns ([(k, v)], [qi])."""
         ow = w_blk + 4 * C
         ob = b_blk + 4
+        kcat = keys[0] if P == 1 else jnp.concatenate(keys, axis=0)
+        prjc = nn(kcat, w256_ref[:, ow + Cd:ow + 4 * Cd])
         kv, qis = [], []
         for pi in range(P):
-            prj = nn(keys[pi], w256_ref[:, ow + Cd:ow + 4 * Cd])
+            prj = prjc[pi * N:(pi + 1) * N]
             k = (prj[:, :Cd] + pewk2_ref[:] + brow(ob + 1, Cd)).astype(bf)
             v = (prj[:, Cd:2 * Cd] + brow(ob + 2, Cd)).astype(bf)
             qis.append((prj[:, 2 * Cd:] + pewq2_ref[:]
@@ -496,11 +501,13 @@ def _twt_compute(src_ref, tok_ref, k1_ref, v1_ref, qi1_ref,
         return kv, qis
 
     def project_final(keys):
-        """fin.k|fin.v as one [N, 2Cd] matmul per prompt."""
+        """fin.k|fin.v as one [P*N, 2Cd] matmul across all prompts."""
         ow, ob = 2 * w_blk, 2 * b_blk
+        kcat = keys[0] if P == 1 else jnp.concatenate(keys, axis=0)
+        prjc = nn(kcat, w256_ref[:, ow + Cd:ow + 3 * Cd])
         kv = []
         for pi in range(P):
-            prj = nn(keys[pi], w256_ref[:, ow + Cd:ow + 3 * Cd])
+            prj = prjc[pi * N:(pi + 1) * N]
             k = (prj[:, :Cd] + pewkf_ref[:] + brow(ob + 1, Cd)).astype(bf)
             v = (prj[:, Cd:] + brow(ob + 2, Cd)).astype(bf)
             kv.append((k, v))
