@@ -31,12 +31,30 @@ Array = jax.Array
 
 
 def _gelu(x: Array) -> Array:
-    """tanh-form GELU. Mosaic has no erf/erfc lowering; an erf polynomial
+    """Kernel GELU. Mosaic has no erf/erfc lowering; an erf polynomial
     (A&S 7.1.26, exp+div based) costs ~4 ms/chunk more than the VPU tanh
     intrinsic at AMG scale (805M activations/chunk). Deviation from the
     exact erf GELU is <= ~1.5e-3 absolute — inside bf16 rounding noise for
-    the mask logits this kernel feeds."""
+    the mask logits this kernel feeds.
+
+    ULLSAM_KERNEL_GELU=poly swaps the tanh intrinsic for a transcendental-
+    free odd minimax polynomial of the SAME tanh-form function (degree-13
+    in x, Horner in x^2, endpoint-constrained so gelu(x) == x exactly for
+    x >= 4): max |err| vs the tanh form 4.9e-4 over all x — below the
+    tanh-form's own 1.5e-3 deviation from erf. Read at trace time; see
+    benchmarks/ablate_gelu.py for the on-chip A/B."""
     f = x.astype(jnp.float32)
+    mode = os.environ.get("ULLSAM_KERNEL_GELU", "tanh")
+    if mode == "id":  # timing ceiling probe only (ablate_gelu.py)
+        return x
+    if mode == "poly":
+        y = jnp.clip(f, -4.0, 4.0)
+        t = y * y
+        h = (((((2.9225219743598021e-08 * t - 1.9582960649183773e-06) * t
+                + 5.5764190412293351e-05) * t - 8.9643829814620808e-04) * t
+              + 9.2000206800642321e-03) * t - 6.551874005207356e-02) * t \
+            + 0.3984482633655887
+        return (f * (0.5 + y * h)).astype(x.dtype)
     inner = 0.7978845608028654 * (f + 0.044715 * (f * f * f))
     return (0.5 * f * (1.0 + jnp.tanh(inner))).astype(x.dtype)
 

@@ -129,8 +129,12 @@ _ln_mlp_call.defvjp(_ln_mlp_fwd, _ln_mlp_bwd)
 
 
 def ln_mlp_supported(T: int, C: int, F: int) -> bool:
-    # default OFF until the on-chip A/B (benchmarks/ab_encode_fused.py)
-    # proves a win; parity is already covered by tests/test_kernels.py
+    # default OFF: the on-chip A/B (benchmarks/ab_encode_fused.py, v5e,
+    # ViT-H interleaved 4 rounds) measured the fused LN+MLP chain SLOWER
+    # than XLA's own fusion — 67.3 ms/encode mlp_only vs 65.6 neither —
+    # XLA already fuses the LN into the fc1 epilogue and overlaps better.
+    # ULLSAM_FUSED_VIT_MLP=1 re-enables for experiments; parity stays
+    # covered by tests/test_kernels.py.
     from ullsam_tpu.ops.pallas import backend_ok
     if os.environ.get("ULLSAM_FUSED_VIT_MLP", "0") == "0":
         return False
@@ -370,9 +374,14 @@ _window_attn_call.defvjp(_window_attn_fwd, _window_attn_bwd)
 
 
 def window_attn_supported(n: int, C: int, nh: int, hd: int) -> bool:
-    # default OFF until the on-chip A/B proves a win (see ln_mlp_supported)
+    # default ON: the on-chip A/B (benchmarks/ab_encode_fused.py, v5e,
+    # ViT-H interleaved 4 rounds) measured 64.0 ms/encode attn_only vs
+    # 65.6 ms with the standalone packed window kernel (LN/qkv/proj in
+    # XLA) — the in-kernel qkv/proj with VMEM-resident weights removes
+    # the padded-layout HBM round trip. ULLSAM_FUSED_VIT_ATTN=0 falls
+    # back for debugging.
     from ullsam_tpu.ops.pallas import backend_ok
-    if os.environ.get("ULLSAM_FUSED_VIT_ATTN", "0") == "0":
+    if os.environ.get("ULLSAM_FUSED_VIT_ATTN", "1") == "0":
         return False
     return (backend_ok() and C % 128 == 0 and hd <= _HP
             and 4 <= n < 1024)
