@@ -508,12 +508,24 @@ def _amg_device_sweep(params, cfg: SamConfig, image, points,
     sel = _cols_to_spatial_masks(sel16, H, W)
     masks = _upscale_threshold(cfg, sel, out_hw[0], out_hw[1], input_hw)
     masks = masks & valid[:, None, None]
-    return {
+    out = {
         "masks": masks, "indices": idx, "valid": valid,
         "iou": jnp.take(iou, idx), "stability": jnp.take(stability, idx),
         "boxes_low": jnp.take(boxes, idx, axis=0),
         "areas": jnp.sum(masks, axis=(1, 2), dtype=jnp.int32),
     }
+    # all per-mask stats as ONE [max_out, 9] f32 tensor: a device_get of
+    # the 6 separate leaves costs up to 6 relay round trips per image
+    # (~25 ms base latency each); one packed transfer collapses that to
+    # one. indices (< 3*n) and areas (< 2^24 px) are exact in f32.
+    out["stats_packed"] = jnp.concatenate(
+        [out["indices"].astype(jnp.float32)[:, None],
+         out["valid"].astype(jnp.float32)[:, None],
+         out["iou"].astype(jnp.float32)[:, None],
+         out["stability"].astype(jnp.float32)[:, None],
+         out["boxes_low"].astype(jnp.float32),
+         out["areas"].astype(jnp.float32)[:, None]], axis=-1)
+    return out
 
 
 @functools.partial(
@@ -709,10 +721,19 @@ class AutomaticMaskGenerator:
 
     def _collect_crop(self, out, crop_box, crop_size, input_hw, max_out,
                       points_for_image, n):
-        # ONE small transfer for all per-mask stats (~max_out floats)
-        stats = jax.device_get({k: out[k] for k in
-                                ("indices", "valid", "iou", "stability",
-                                 "boxes_low", "areas")})
+        # ONE small transfer for all per-mask stats (~max_out floats):
+        # the packed [max_out, 9] tensor is a single relay round trip
+        # (6 separate leaves measured ~20 ms/image of host overhead)
+        if "stats_packed" in out:
+            sp = np.asarray(out["stats_packed"])
+            stats = {"indices": sp[:, 0].astype(np.int64),
+                     "valid": sp[:, 1], "iou": sp[:, 2],
+                     "stability": sp[:, 3], "boxes_low": sp[:, 4:8],
+                     "areas": sp[:, 8].astype(np.int64)}
+        else:
+            stats = jax.device_get({k: out[k] for k in
+                                    ("indices", "valid", "iou", "stability",
+                                     "boxes_low", "areas")})
         valid = stats["valid"].astype(bool)
 
         lr = 4 * self.cfg.prompt_encoder.image_embedding_size[0]
