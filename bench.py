@@ -73,10 +73,13 @@ def main():
     extra = {}
     try:
         from ullsam_tpu.inference.amg import bench_amg_stats  # noqa: F401
-        # median of 3 independent 6-image runs: relay-state variance on
-        # single runs was ~15%; the median of three 6-image sweeps holds
-        # consecutive driver runs within ~5% (round-2 verdict item 5)
-        runs = [bench_amg_stats(variant="vit_h", iters=6)["masks_per_sec"]
+        # median of 3 independent 12-image runs: relay-state variance on
+        # single runs was ~15%; the median of three runs holds consecutive
+        # driver runs within ~5% (round-2 verdict item 5). 12 images per
+        # run measures STEADY-STATE pipeline throughput: the fixed cost
+        # (first upload + trailing collect, ~60-120 ms) amortizes — 6-image
+        # runs under-report by ~8% (measured 139.8 vs 129.5 ms/image)
+        runs = [bench_amg_stats(variant="vit_h", iters=12)["masks_per_sec"]
                 for _ in range(3)]
         runs.sort()
         value = runs[1]
