@@ -113,8 +113,14 @@ def extract_feature(params: dict, cfg: FusionConfig, pixel_values: Array,
     Reference: modeling_internvl_sam.py:242-251 (vision tower under no_grad,
     pixel shuffle, mlp1).
     """
-    feats = SAM.encode_image(params["sam"], cfg.sam, pixel_values,
-                             remat=remat)
+    # compute in the vision tower's PARAM dtype: f32 pixel inputs against
+    # bf16 weights would promote every ViT matmul (fwd AND flash backward)
+    # to f32 — measured 12.5 ms/step of f32 flash-bwd kernels alone on the
+    # flagship train step. The reference trains the tower in bf16 autocast
+    # (train_joint_v2.py deepspeed bf16); f32 params keep exact f32 parity.
+    pe_dtype = params["sam"]["image_encoder"]["patch_embed"]["kernel"].dtype
+    feats = SAM.encode_image(params["sam"], cfg.sam,
+                             pixel_values.astype(pe_dtype), remat=remat)
     if stop_vision_gradient:
         feats = jax.lax.stop_gradient(feats)
     x = pixel_shuffle(feats, cfg.downsample_ratio, cfg.ps_version)
@@ -279,6 +285,13 @@ def segment_with_prompts(
         llm_dense = PE.embed_llm_hidden(pe_params, pe_cfg, dense_prompt)
         dense = jnp.broadcast_to(llm_dense, (B,) + llm_dense.shape[1:])
     image_pe = PE.get_dense_pe(pe_params, pe_cfg)
+    # decode in the feature dtype: the PE sin/cos math stays f32 for
+    # precision but f32 prompt tensors would promote the whole decoder
+    # (and send f32 cotangents into the bf16 conv backward — a dtype
+    # error under grad, and 2x matmul cost in bf16 training)
+    dt = sam_features.dtype
+    sparse, dense, image_pe = (sparse.astype(dt), dense.astype(dt),
+                               image_pe.astype(dt))
     return MD.mask_decoder_apply(
         params["sam"]["mask_decoder"], cfg.sam.mask_decoder,
         sam_features, image_pe, sparse, dense,

@@ -93,12 +93,18 @@ def conv_init(key, in_chans: int, out_chans: int,
 
 def conv2d(params: dict, x: Array, *, stride: Tuple[int, int] = (1, 1),
            padding="VALID") -> Array:
-    """NHWC conv with HWIO kernel."""
+    """NHWC conv with HWIO kernel.
+
+    For low-precision inputs the conv emits x.dtype directly (the MXU
+    still accumulates in f32 internally): forcing a f32 output dtype
+    makes jax's conv vjp pair an upcast f32 cotangent with the bf16
+    kernel, which lax.conv rejects (bf16 training path, round 3)."""
     kernel = params["kernel"].astype(x.dtype)
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
         x, kernel, window_strides=stride, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     )
     if "bias" in params:
         y = y + params["bias"].astype(jnp.float32)

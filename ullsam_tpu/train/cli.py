@@ -65,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="indexed",
                    help="hungarian = re-match preds to GTs by soft IoU "
                         "(working variable_instance_loss analog)")
+    p.add_argument("--param_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="cast all floating params after init/warm-start; "
+                        "bfloat16 matches the reference's deepspeed-bf16 "
+                        "training (train_joint_v2.py) and runs the vision "
+                        "tower fwd+bwd at bf16 MXU rate")
     p.add_argument("--trainable_modules", default=None,
                    help="comma-separated path regexes overriding defaults")
     # parallelism
@@ -187,6 +193,10 @@ def main(argv=None):
             if args.trainable_modules else
             ((r"sam\..*", r"mlp1\..*", r"mlp2\..*") if args.mode in seg_modes
              else (r"llm\..*", r"mlp1\..*", r"mlp2\..*"))))
+
+    if args.param_dtype == "bfloat16":
+        from ullsam_tpu.core.tree import cast_floating
+        params = cast_floating(params, jnp.bfloat16)
 
     n_dev = len(jax.devices())
     dp = args.dp or (n_dev // args.tp)
