@@ -221,3 +221,37 @@ def test_grad_accumulation():
     moved = not jax.tree_util.tree_all(jax.tree_util.tree_map(
         lambda a, b: bool((np.asarray(a) == np.asarray(b)).all()), t0, t4))
     assert moved, "params should move after enough accumulation steps"
+
+
+def test_train_step_bf16_params():
+    """bf16 training path (the reference's deepspeed-bf16 configuration):
+    the whole step runs with bf16 params — this covers the conv-vjp dtype
+    pairing (f32 cotangent vs bf16 kernel) that broke when the vision
+    tower first ran at bf16, and the prompt-encoder f32 -> decoder
+    promotion. Loss must be finite and close to the f32 loss."""
+    from ullsam_tpu.core.tree import cast_floating
+    params = F.fusion_init(jax.random.PRNGKey(0), CFG)
+    batch = jax.tree_util.tree_map(jnp.asarray, make_batch())
+
+    tx32, t32, f32 = make_trainable_optimizer(params, TCFG)
+    _, _, m32 = make_train_step(CFG, TCFG, tx32, donate=False)(
+        t32, f32, tx32.init(t32), batch)
+
+    bp = cast_floating(params, jnp.bfloat16)
+    tx, trainable, frozen = make_trainable_optimizer(bp, TCFG)
+    opt_state = tx.init(trainable)
+    step = make_train_step(CFG, TCFG, tx, donate=False)
+    losses = []
+    for _ in range(3):
+        trainable, opt_state, metrics = step(trainable, frozen, opt_state,
+                                             batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all(), losses
+    # bf16 loss tracks the f32 loss (tiny shapes: rounding stays small)
+    assert abs(losses[0] - float(m32["loss"])) < 0.05, (
+        losses[0], float(m32["loss"]))
+    assert losses[-1] <= losses[0] + 0.05, losses
+    # params stayed bf16 through the update
+    dts = {l.dtype for l in jax.tree.leaves(trainable)
+           if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)}
+    assert dts == {jnp.dtype(jnp.bfloat16)}, dts
