@@ -383,16 +383,22 @@ def _vit_bwd_dq_kernel(q_ref, k_ref, v_ref, rhw_ref, do_ref, lse_ref,
                                preferred_element_type=jnp.float32)
     p = jnp.exp(logits + bias - lse_ref[0][:, 0:1])           # [TQ, TK]
 
-    do = do_ref[0].astype(jnp.float32)                        # [TQ, D]
-    dov = jax.lax.dot_general(do, v_ref[0].astype(jnp.float32),
+    # matmul precision follows the input dtype: bf16 training inputs run
+    # the three grad matmuls at bf16 MXU rate (f32 accumulate), f32
+    # inputs keep the exact-parity path (tests assert atol=1e-5 at f32)
+    cdt = q_ref.dtype
+    do = do_ref[0].astype(cdt)                                # [TQ, D]
+    dov = jax.lax.dot_general(do, v_ref[0].astype(cdt),
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     ds = p * (dov - dd_ref[0][:, 0:1])                        # [TQ, TK]
+    ds_c = ds.astype(cdt)
 
     dq_scr[:] += jax.lax.dot_general(
-        ds, kk.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        ds_c, kk, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
-    drhw_scr[:] += jax.lax.dot_general(ds, sel, (((1,), (1,)), ((), ())),
+    drhw_scr[:] += jax.lax.dot_general(ds_c, sel.astype(cdt),
+                                       (((1,), (1,)), ((), ())),
                                        preferred_element_type=jnp.float32)
 
     @pl.when(ik == nk - 1)
@@ -428,15 +434,18 @@ def _vit_bwd_dkv_kernel(q_ref, k_ref, v_ref, rhw_ref, do_ref, lse_ref,
                                preferred_element_type=jnp.float32)
     p = jnp.exp(logits + bias - lse_ref[0][:, 0:1])           # [TQ, TK]
 
-    do = do_ref[0].astype(jnp.float32)
-    dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+    # see _vit_bwd_dq_kernel: matmul precision follows the input dtype
+    cdt = q_ref.dtype
+    do = do_ref[0].astype(cdt)
+    dv_scr[:] += jax.lax.dot_general(p.astype(cdt), do,
+                                     (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-    dov = jax.lax.dot_general(do, v_ref[0].astype(jnp.float32),
+    dov = jax.lax.dot_general(do, v_ref[0].astype(cdt),
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     ds = p * (dov - dd_ref[0][:, 0:1])
     dk_scr[:] += jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        ds.astype(cdt), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
 
     @pl.when(iq == nq - 1)
@@ -587,7 +596,15 @@ def _vit_window_kernel(qkvp_ref, rhf_ref, rwf_ref, o_ref,
 
 
 def _window_packed_xla(qkvp, rhf, rwf, nh, hd, kh, kw):
-    """Reference math on the packed layout (backward pass + tests)."""
+    """Reference math on the packed layout (backward pass + tests).
+
+    NB: the dense per-token one-hot formulation below MEASURES faster
+    under grad than the "obviously cheaper" compact decomposed einsum
+    (q5 [B,kh,kw,nh,HP] x Rh [kh,kh,HP] batched matmuls): the compact
+    form cost +20 ms on the flagship train step (163.5 vs 142.2 ms,
+    round-3 A/B) despite a ~50 ms estimated-cycles tally against this
+    form — XLA's fusion of the selector einsums beats the small batched
+    matmuls' layout churn. Do not "optimize" this without measuring."""
     B, N, _ = qkvp.shape
     HP = _HP
     qkv = qkvp.reshape(B, N, 3, nh, HP)
