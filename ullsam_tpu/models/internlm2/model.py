@@ -170,7 +170,15 @@ def _layer_body(cfg: InternLM2Config, x: Array, lp: dict, cos: Array,
                              v_cache.astype(q.dtype), mask, cfg)
         new_k, new_v = k_cache, v_cache
     else:
-        attn = gqa_attention(q, k, v, mask, cfg)
+        # checkpoint the attention inner: without it the non-remat scan
+        # saves per-layer [n_kv, g, S, T] f32 logits + bf16 probs for the
+        # backward (1.35 GB/step at S=1088 on the flagship — the largest
+        # dynamic-update-slice fusions in the step trace); recomputing
+        # probs from (q, k, mask) in the backward is cheaper than the HBM
+        # round trip. Composes harmlessly with the whole-body remat.
+        attn = jax.checkpoint(
+            lambda q_, k_, v_, m_: gqa_attention(q_, k_, v_, m_, cfg)
+        )(q, k, v, mask)
         new_k, new_v = k, v
 
     B, S = x.shape[:2]
