@@ -27,6 +27,8 @@ def main():
                     help="image captions (1024 vision tokens per prompt)")
     ap.add_argument("--max-batch", type=int, default=4)
     ap.add_argument("--quant", choices=["int8"], default=None)
+    ap.add_argument("--spd", type=int, default=8,
+                    help="decode steps per dispatch (chunk size)")
     args = ap.parse_args()
 
     from ullsam_tpu.utils.cache import enable_compilation_cache
@@ -47,7 +49,8 @@ def main():
                            jnp.bfloat16)
     tk = load_tokenizer(TOKENIZER_DIR)
     eng = GenerationEngine(params, cfg, tk, max_batch=args.max_batch,
-                           max_len=2560, quant=args.quant)
+                           max_len=2560, quant=args.quant,
+                           steps_per_dispatch=args.spd)
 
     rng = np.random.RandomState(0)
     img = (rng.rand(1, 1024, 1024, 3) * 255).astype(np.uint8)
@@ -55,6 +58,7 @@ def main():
 
     # warmup: compile prefill bucket + decode chunk variants
     eng.caption(pv, "Describe the image.", max_new_tokens=args.new)
+    eng.phase_stats.clear()
 
     results = [None] * args.n
     def run(i):
@@ -69,9 +73,15 @@ def main():
     dt = time.perf_counter() - t0
     total = args.n * args.new  # random weights never emit EOS early
     print(f"{args.n} concurrent {'image' if args.image else 'text'} "
-          f"captions x {args.new} tokens (max_batch={args.max_batch}"
+          f"captions x {args.new} tokens (max_batch={args.max_batch}, spd={args.spd}"
           f"{', ' + args.quant if args.quant else ''}): "
           f"{dt:.2f}s -> {total/dt:.1f} tok/s aggregate")
+    ph = dict(eng.phase_stats)
+    if ph:
+        n = max(1, int(ph.get("chunks", 0)))
+        print("  worker phases: " + ", ".join(
+            f"{k}={v:.2f}s" for k, v in sorted(ph.items())
+            if k != "chunks") + f"  ({n} chunks)")
     eng.shutdown()
 
 

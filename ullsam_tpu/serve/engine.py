@@ -215,6 +215,15 @@ class GenerationEngine:
         self.steps_per_dispatch = max(1, steps_per_dispatch)
         self.prefill_chunk = max(128, prefill_chunk)
         self._pending_admissions: List[dict] = []
+        # device-resident caches of the small per-chunk dispatch args
+        # (re-uploaded only when the slot set / gen configs change)
+        self._step_key = None
+        self._active_dev = None
+        self._samp_dev = None
+        # worker-phase wall time (seconds) + dispatched chunk count —
+        # cheap observability for finding pipeline stalls
+        import collections as _c
+        self.phase_stats = _c.defaultdict(float)
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -444,7 +453,9 @@ class GenerationEngine:
         re-assigned since dispatch (identity-checked via the request).
         """
         import collections
+        import time as _time
         cur_dev = jnp.asarray(self.cur_tokens)   # [B] device tokens
+        ph = self.phase_stats  # wall-time per worker phase (observability)
         # up to TWO chunks stay in flight: syncing chunk k-2 while k-1 and
         # k are queued keeps the ~25 ms relay transfer latency entirely
         # off the device's critical path (one-deep still stalled ~30 ms
@@ -468,6 +479,7 @@ class GenerationEngine:
             # 1b. advance ONE segment of the oldest pending admission per
             # iteration — decode chunks (step 2) interleave between
             # segments, bounding any stream's stall to one segment
+            _t0 = _time.perf_counter()
             if self._pending_admissions:
                 st = self._pending_admissions[0]
                 try:
@@ -486,6 +498,8 @@ class GenerationEngine:
                         commits.append((slot, st["req"], tok_dev))
             active_slots = [i for i in range(self.max_batch)
                             if self.slot_active[i]]
+            _t1 = _time.perf_counter()
+            ph["admit"] += _t1 - _t0
 
             # 2. dispatch the next decode chunk (results read NEXT loop)
             handle = None
@@ -493,24 +507,45 @@ class GenerationEngine:
                 active = np.zeros((self.max_batch,), bool)
                 active[active_slots] = True
                 # chunk size: single-step only when a pending request could
-                # actually be admitted (free slot + backlog); never overrun
-                # a budget by more than the speculation window.
+                # actually be admitted (free slot + backlog), else ALWAYS
+                # steps_per_dispatch. Clamping to the min slot budget
+                # looked thrifty but produced data-dependent odd n_steps
+                # values (7, 5, 4, 2...) at request tails — each a fresh
+                # ~300 ms jit variant, timing-dependent and uncacheable
+                # (measured: ~1.5 s of tail compiles per 8-request batch).
+                # Budget overrun is safe by design: the host trims at the
+                # budget and overrun cache entries are overwritten on
+                # re-admission, so the only cost is <= spd-1 wasted steps.
                 free_slot = len(active_slots) < self.max_batch
                 n_steps = (1 if (free_slot and not self.queue.empty())
-                           else min(self.steps_per_dispatch,
-                                    max(1, min(self.slot_budget[s]
-                                               for s in active_slots))))
+                           else self.steps_per_dispatch)
                 slot_gens = [(self.slots[i].gen or self.gen)
                              if self.slots[i] is not None else None
                              for i in range(self.max_batch)]
                 dynamic = any(self.slot_active[i] and g is not None
                               and g.do_sample
                               for i, g in enumerate(slot_gens))
-                samp = SamplingParams.from_configs(slot_gens,
-                                                   pad_to=self.max_batch)
+                # device-cache the per-chunk small args: every tiny host
+                # array passed to the jit is a separate relay upload with
+                # ~25 ms base latency — re-uploading active + 4 sampling
+                # arrays per chunk made sustained decode WIRE-bound
+                # (157 ms/chunk vs 50 ms device, measured b8 int8). The
+                # slot set and gen configs only change at admissions.
+                step_key = (tuple(active.tolist()),
+                            tuple(None if g is None else
+                                  (g.temperature, g.top_k, g.top_p,
+                                   g.do_sample) for g in slot_gens))
+                if step_key != self._step_key:
+                    self._step_key = step_key
+                    self._active_dev = jnp.asarray(active)
+                    self._samp_dev = jax.tree_util.tree_map(
+                        jnp.asarray,
+                        SamplingParams.from_configs(slot_gens,
+                                                    pad_to=self.max_batch))
+                samp = self._samp_dev
                 emitted, self.cache, self.rng = _engine_step(
                     self.params, self.cfg, cur_dev, self.cache,
-                    jnp.asarray(active), samp, self.rng, n_steps=n_steps,
+                    self._active_dev, samp, self.rng, n_steps=n_steps,
                     dynamic_sampling=dynamic,
                     pad_token_id=self.gen.pad_token_id,
                     attend_len=self._attend_bucket(active_slots, n_steps))
@@ -525,6 +560,9 @@ class GenerationEngine:
                 handle = (emitted,
                           [(s, self.slots[s]) for s in active_slots],
                           n_steps)
+                ph["chunks"] += 1
+            _t2 = _time.perf_counter()
+            ph["dispatch"] += _t2 - _t1
 
             # 3. resolve first tokens (upstream of the chunk just
             # dispatched in the device stream — near-free to read now)
@@ -538,6 +576,9 @@ class GenerationEngine:
                         and self.slots[slot] is req):
                     self._finish(slot)
             commits = []
+
+            _t3 = _time.perf_counter()
+            ph["commits"] += _t3 - _t2
 
             # 4. consume the oldest in-flight chunk's tokens (keep two
             # queued while decoding; drain fully when idle)
@@ -564,6 +605,7 @@ class GenerationEngine:
                             break
                     if done:
                         self._finish(slot)
+            ph["sync"] += _time.perf_counter() - _t3
 
             if (handle is None and not active_slots
                     and not self._pending_admissions):
