@@ -59,17 +59,19 @@ def main():
     from ullsam_tpu.ops.resize import bilinear_resize_nhwc
 
     @jax.jit
-    def enc(image):
+    def enc(params, image):
         # matmul resize (ops/resize.py): jax.image.resize lowers to slow
-        # gathers on TPU and antialiases differently (CLAUDE.md gotcha)
+        # gathers on TPU and antialiases differently (CLAUDE.md gotcha).
+        # params MUST be an explicit jit argument: closing over the 2.4 GB
+        # bf16 tree embeds it as HLO constants (pathological compile).
         x = bilinear_resize_nhwc(image.astype(jnp.float32), 1024, 1024)
         return S.encode_image(params, cfg,
                               S.preprocess(x, cfg).astype(jnp.bfloat16))
-    e = enc(image)
+    e = enc(params, image)
     np.asarray(jnp.sum(e.astype(jnp.float32)))
     t0 = time.perf_counter()
     for _ in range(k):
-        e = enc(image)
+        e = enc(params, image)
     np.asarray(jnp.sum(e.astype(jnp.float32)))
     print(f"encode alone:         {(time.perf_counter()-t0)/k*1000:8.2f} ms")
 
