@@ -36,6 +36,26 @@ NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 
+def _bias_select(rhw, sel_bool, compute_dtype):
+    """Rebuild a [TQ, TK] rel-pos bias tile: rhw [TQ, KH+KW] f32 through a
+    one-hot selection matmul. The dot only COPIES rhw values, so operand
+    precision is a speed knob: an f32 dot runs at a fraction of the MXU's
+    bf16 rate and costs more than q@k itself. bf16 compute: ONE bf16 pass
+    (operand rounding ~2^-9 relative on a pre-softmax bias — inside the
+    bf16 noise the logits already carry). f32 compute: bf16 hi+lo passes
+    reproduce each f32 value to ~2^-16 relative (exact selection, rounded
+    operands; parity tests hold atol<=1e-5)."""
+    sel = sel_bool.astype(jnp.bfloat16)
+    dot = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if compute_dtype == jnp.float32:
+        hi = rhw.astype(jnp.bfloat16)
+        lo = (rhw - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dot(hi, sel) + dot(lo, sel)
+    return dot(rhw.astype(jnp.bfloat16), sel)
+
+
 def _vit_kernel(q_ref, k_ref, v_ref, rhw_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, kh: int, kw: int, block_k: int):
     ik = pl.program_id(2)
@@ -64,19 +84,7 @@ def _vit_kernel(q_ref, k_ref, v_ref, rhw_ref, o_ref, lse_ref,
     kj = jax.lax.broadcasted_iota(jnp.int32, (kh + kw, block_k), 1)
     h_onehot = hsel_rows == (ik * rows_per_tile + kj // kw)
     w_onehot = hsel_rows == (kh + kj % kw)
-    sel = (h_onehot | w_onehot).astype(jnp.bfloat16)
-    # the selection matmul only COPIES rhw values, but an f32 dot runs at
-    # a fraction of the MXU's bf16 rate and costed as much as q@k itself.
-    # Split rhw into bf16 hi + lo halves: two bf16 passes reproduce each
-    # selected f32 value to ~2^-16 relative (exact selection, rounded
-    # operands), at ~half the f32 matmul cost.
-    hi = rhw.astype(jnp.bfloat16)
-    lo = (rhw - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    bias = (jax.lax.dot_general(hi, sel, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(lo, sel, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32))
-    logits = logits + bias
+    logits = logits + _bias_select(rhw, h_onehot | w_onehot, q_ref.dtype)
 
     m_prev = m_scr[:, 0:1]                               # [TQ, 1]
     m_cur = jnp.max(logits, axis=-1, keepdims=True)      # [TQ, 1]
@@ -377,16 +385,16 @@ def _vit_bwd_dq_kernel(q_ref, k_ref, v_ref, rhw_ref, do_ref, lse_ref,
     rhw = rhw_ref[0]                  # [TQ, KH+KW]
     rsel = jax.lax.broadcasted_iota(jnp.int32, (kh + kw, block_k), 0)
     kj = jax.lax.broadcasted_iota(jnp.int32, (kh + kw, block_k), 1)
-    sel = ((rsel == (ik * rows_per_tile + kj // kw))
-           | (rsel == (kh + kj % kw))).astype(jnp.float32)
-    bias = jax.lax.dot_general(rhw, sel, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    sel_bool = ((rsel == (ik * rows_per_tile + kj // kw))
+                | (rsel == (kh + kj % kw)))
+    bias = _bias_select(rhw, sel_bool, q_ref.dtype)  # matches the fwd tile
     p = jnp.exp(logits + bias - lse_ref[0][:, 0:1])           # [TQ, TK]
 
     # matmul precision follows the input dtype: bf16 training inputs run
     # the three grad matmuls at bf16 MXU rate (f32 accumulate), f32
     # inputs keep the exact-parity path (tests assert atol=1e-5 at f32)
     cdt = q_ref.dtype
+    sel = sel_bool.astype(cdt)
     do = do_ref[0].astype(cdt)                                # [TQ, D]
     dov = jax.lax.dot_general(do, v_ref[0].astype(cdt),
                               (((1,), (1,)), ((), ())),
@@ -397,7 +405,7 @@ def _vit_bwd_dq_kernel(q_ref, k_ref, v_ref, rhw_ref, do_ref, lse_ref,
     dq_scr[:] += jax.lax.dot_general(
         ds_c, kk, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
-    drhw_scr[:] += jax.lax.dot_general(ds_c, sel.astype(cdt),
+    drhw_scr[:] += jax.lax.dot_general(ds_c, sel,
                                        (((1,), (1,)), ((), ())),
                                        preferred_element_type=jnp.float32)
 
@@ -428,10 +436,9 @@ def _vit_bwd_dkv_kernel(q_ref, k_ref, v_ref, rhw_ref, do_ref, lse_ref,
     rhw = rhw_ref[0]
     rsel = jax.lax.broadcasted_iota(jnp.int32, (kh + kw, block_k), 0)
     kj = jax.lax.broadcasted_iota(jnp.int32, (kh + kw, block_k), 1)
-    sel = ((rsel == (ik * rows_per_tile + kj // kw))
-           | (rsel == (kh + kj % kw))).astype(jnp.float32)
-    bias = jax.lax.dot_general(rhw, sel, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    sel_bool = ((rsel == (ik * rows_per_tile + kj // kw))
+                | (rsel == (kh + kj % kw)))
+    bias = _bias_select(rhw, sel_bool, q_ref.dtype)  # matches the fwd tile
     p = jnp.exp(logits + bias - lse_ref[0][:, 0:1])           # [TQ, TK]
 
     # see _vit_bwd_dq_kernel: matmul precision follows the input dtype
