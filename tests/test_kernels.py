@@ -27,6 +27,36 @@ def test_llm_flash_attention_segments_and_causal():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_llm_flash_attention_grads():
+    """Fused LLM flash backward (dq/dkv kernels) vs the XLA reference —
+    the packed-training varlen path runs this under jax.grad on TPU."""
+    rng = np.random.RandomState(2)
+    B, S, nh, nkv, D = 2, 300, 8, 4, 64   # S=300 exercises tile padding
+    q = jnp.asarray(rng.randn(B, S, nh, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, nkv, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, nkv, D), jnp.float32)
+    seg = np.ones((B, S), np.int32)
+    seg[0, :50] = 0       # left padding
+    seg[1, 200:] = 2      # packed second segment
+    seg = jnp.asarray(seg)
+    for causal in (True, False):
+        def loss_flash(a, b, c):
+            return jnp.sum(llm_flash_attention(a, b, c, seg, seg, nkv,
+                                               causal=causal) ** 2)
+
+        def loss_ref(a, b, c):
+            return jnp.sum(reference_attention(a, b, c, seg, seg, nkv,
+                                               causal=causal) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+            gref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip(["dq", "dk", "dv"], g, gref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4,
+                                       err_msg=f"{name} causal={causal}")
+
+
 def test_vit_flash_attention_and_grads():
     rng = np.random.RandomState(1)
     B, KH, KW, D = 2, 16, 16, 64

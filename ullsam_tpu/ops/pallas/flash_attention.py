@@ -215,7 +215,7 @@ vit_flash_attention.defvjp(_vit_flash_fwd, _vit_flash_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _llm_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref,
+def _llm_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, block_q: int, block_k: int,
                 causal: bool):
     iq = pl.program_id(2)
@@ -274,6 +274,109 @@ def _llm_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0, 0] = jnp.where(
             l > 0, acc_scr[:] / jnp.maximum(l, 1e-30), 0.0
         ).astype(o_ref.dtype)
+        lse = jnp.where(l > 0, m_scr[:, 0:1] + jnp.log(jnp.maximum(l, 1e-30)),
+                        NEG_INF)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _llm_pad(q, k, v, q_seg, kv_seg, block_q: int, block_k: int):
+    """Pad S to a tile multiple. Pad positions get segment id -1, NOT 0:
+    real id-0 (padding-token) query rows must not attend the zero-padded
+    kv tail — with a 0 pad id they would match it and, non-causally, fold
+    its exp(0) terms into their softmax denominator."""
+    S = q.shape[1]
+    Sp = ((S + block_q - 1) // block_q) * block_q
+    Sp = ((Sp + block_k - 1) // block_k) * block_k
+    if Sp != S:
+        pad = Sp - S
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        q_seg = jnp.pad(q_seg, ((0, 0), (0, pad)), constant_values=-1)
+        kv_seg = jnp.pad(kv_seg, ((0, 0), (0, pad)), constant_values=-2)
+    return q, k, v, q_seg, kv_seg, Sp
+
+
+def _llm_flash_impl(q, k, v, q_seg, kv_seg, num_kv_heads: int, causal: bool,
+                    block_q: int, block_k: int):
+    """Forward kernel dispatch; returns (out [B, S, nh, D] unpadded,
+    lse [B, nh, Sp, 8] f32 lane-replicated, for the fused backward)."""
+    B, S, nh, D = q.shape
+    group = nh // num_kv_heads
+    q, k, v, q_seg, kv_seg, Sp = _llm_pad(q, k, v, q_seg, kv_seg,
+                                          block_q, block_k)
+
+    qt = (q * (D ** -0.5)).astype(q.dtype).transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)                   # [B, n_kv, Sp, D]
+    vt = v.transpose(0, 2, 1, 3)
+
+    grid = (B, nh, Sp // block_q, Sp // block_k)
+
+    kernel = functools.partial(_llm_kernel, block_q=block_q,
+                               block_k=block_k, causal=causal)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q), lambda b, h, iq, ik: (b, iq)),
+            pl.BlockSpec((1, block_k), lambda b, h, iq, ik: (b, ik)),
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, iq, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, iq, ik: (b, h // group, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, iq, ik: (b, h // group, ik, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, iq, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 8),
+                         lambda b, h, iq, ik: (b, h, iq, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nh, Sp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, nh, Sp, 8), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+    )(q_seg.astype(jnp.int32), kv_seg.astype(jnp.int32), qt, kt, vt)
+
+    return out.transpose(0, 2, 1, 3)[:, :S], lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _llm_flash(q, k, v, q_seg, kv_seg, num_kv_heads: int, causal: bool,
+               block_q: int, block_k: int):
+    return _llm_flash_impl(q, k, v, q_seg, kv_seg, num_kv_heads, causal,
+                           block_q, block_k)[0]
+
+
+def _llm_flash_fwd(q, k, v, q_seg, kv_seg, num_kv_heads, causal,
+                   block_q, block_k):
+    out, lse = _llm_flash_impl(q, k, v, q_seg, kv_seg, num_kv_heads, causal,
+                               block_q, block_k)
+    return out, (q, k, v, q_seg, kv_seg, out, lse)
+
+
+def _llm_flash_bwd(num_kv_heads, causal, block_q, block_k, res, g):
+    q, k, v, q_seg, kv_seg, out, lse = res
+    if USE_FUSED_BWD:
+        dq, dk, dv = _llm_flash_bwd_impl(
+            q, k, v, q_seg, kv_seg, out, lse, g, num_kv_heads, causal,
+            block_q, block_k)
+    else:
+        _, vjp = jax.vjp(
+            lambda a, b, c: reference_attention(a, b, c, q_seg, kv_seg,
+                                                num_kv_heads, causal),
+            q, k, v)
+        dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+_llm_flash.defvjp(_llm_flash_fwd, _llm_flash_bwd)
 
 
 @functools.partial(jax.jit,
@@ -287,58 +390,14 @@ def llm_flash_attention(q: Array, k: Array, v: Array,
 
     q: [B, S, nh, D]; k, v: [B, S, n_kv, D]; segment ids [B, S] int32
     (0 = padding; tokens attend only within equal nonzero segments).
-    Returns [B, S, nh, D]. Scale is applied internally.
+    Returns [B, S, nh, D]. Scale is applied internally. Differentiable:
+    the fused flash backward (below) runs by default, the XLA-math vjp
+    with ULLSAM_FUSED_FLASH_BWD=0.
     """
-    B, S, nh, D = q.shape
-    n_kv = k.shape[2]
-    group = nh // num_kv_heads
-    assert n_kv == num_kv_heads
-
-    # pad S to a tile multiple
-    Sp = ((S + block_q - 1) // block_q) * block_q
-    Sp = ((Sp + block_k - 1) // block_k) * block_k
-    if Sp != S:
-        pad = Sp - S
-        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        q_segment_ids = jnp.pad(q_segment_ids, ((0, 0), (0, pad)))
-        kv_segment_ids = jnp.pad(kv_segment_ids, ((0, 0), (0, pad)))
-
-    qt = (q * (D ** -0.5)).transpose(0, 2, 1, 3)   # [B, nh, Sp, D]
-    kt = k.transpose(0, 2, 1, 3)                   # [B, n_kv, Sp, D]
-    vt = v.transpose(0, 2, 1, 3)
-
-    grid = (B, nh, Sp // block_q, Sp // block_k)
-
-    kernel = functools.partial(_llm_kernel, block_q=block_q,
-                               block_k=block_k, causal=causal)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q), lambda b, h, iq, ik: (b, iq)),
-            pl.BlockSpec((1, block_k), lambda b, h, iq, ik: (b, ik)),
-            pl.BlockSpec((1, 1, block_q, D),
-                         lambda b, h, iq, ik: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_k, D),
-                         lambda b, h, iq, ik: (b, h // group, ik, 0)),
-            pl.BlockSpec((1, 1, block_k, D),
-                         lambda b, h, iq, ik: (b, h // group, ik, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, block_q, D),
-                               lambda b, h, iq, ik: (b, h, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, nh, Sp, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
-        ],
-    )(q_segment_ids.astype(jnp.int32), kv_segment_ids.astype(jnp.int32),
-      qt, kt, vt)
-
-    out = out.transpose(0, 2, 1, 3)
-    return out[:, :S]
+    assert k.shape[2] == num_kv_heads
+    return _llm_flash(q, k, v, q_segment_ids.astype(jnp.int32),
+                      kv_segment_ids.astype(jnp.int32), num_kv_heads,
+                      causal, block_q, block_k)
 
 
 def reference_attention(q, k, v, q_seg, kv_seg, num_kv_heads, causal=True):
@@ -358,6 +417,214 @@ def reference_attention(q, k, v, q_seg, kv_seg, num_kv_heads, causal=True):
     probs = jnp.where(jnp.isnan(probs), 0.0, probs)
     return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# LLM flash backward kernels (causal + GQA + segment ids)
+# ---------------------------------------------------------------------------
+
+
+def _llm_bwd_p(qseg_ref, kseg_ref, q, kk, lse, *, iq, ik, block_q: int,
+               block_k: int, causal: bool, scale: float):
+    """Recompute the probability tile p = exp(logits + mask - lse)."""
+    logits = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+    mask = qseg_ref[0][:, None] == kseg_ref[0][None, :]   # [TQ, TK]
+    if causal:
+        q_pos = iq * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        k_pos = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = jnp.logical_and(mask, q_pos >= k_pos)
+    # fully-masked rows have lse = NEG_INF; exp(NEG_INF - NEG_INF) would
+    # be exp(0) = 1 — mask them to 0 explicitly
+    ok = jnp.logical_and(mask, lse > NEG_INF / 2)
+    return jnp.where(ok, jnp.exp(logits - lse), 0.0)
+
+
+def _llm_bwd_dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref,
+                       lse_ref, dd_ref, dq_ref, dq_scr,
+                       *, block_q: int, block_k: int, causal: bool,
+                       scale: float):
+    """dq, q-tile major (k tiles innermost). Grid (B, nh, nq, nk)."""
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    def _compute():
+        q = q_ref[0, 0]                   # [TQ, D] UNscaled
+        kk = k_ref[0, 0]                  # [TK, D]
+        p = _llm_bwd_p(qseg_ref, kseg_ref, q, kk, lse_ref[0, 0][:, 0:1],
+                       iq=iq, ik=ik, block_q=block_q, block_k=block_k,
+                       causal=causal, scale=scale)
+        # grad matmul precision follows the input dtype (see ViT bwd)
+        cdt = q_ref.dtype
+        do = do_ref[0, 0].astype(cdt)
+        dov = jax.lax.dot_general(do, v_ref[0, 0].astype(cdt),
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        ds = p * (dov - dd_ref[0, 0][:, 0:1])
+        dq_scr[:] += jax.lax.dot_general(
+            ds.astype(cdt), kk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    if causal:
+        pl.when((ik * block_k) <= (iq * block_q + block_q - 1))(_compute)
+    else:
+        _compute()
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _llm_bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref,
+                        lse_ref, dd_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                        *, block_q: int, block_k: int, causal: bool,
+                        scale: float, n_q_tiles: int):
+    """dk and dv, k-tile major. Grid (B, n_kv, nk, group * nq): the
+    innermost axis enumerates (head-in-group, q tile) so each kv head's
+    accumulator sums over all of its query heads."""
+    ik = pl.program_id(2)
+    t = pl.program_id(3)
+    nt = pl.num_programs(3)
+    iq = t % n_q_tiles
+
+    @pl.when(t == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    def _compute():
+        q = q_ref[0, 0]
+        kk = k_ref[0, 0]
+        p = _llm_bwd_p(qseg_ref, kseg_ref, q, kk, lse_ref[0, 0][:, 0:1],
+                       iq=iq, ik=ik, block_q=block_q, block_k=block_k,
+                       causal=causal, scale=scale)
+        cdt = q_ref.dtype
+        do = do_ref[0, 0].astype(cdt)
+        dv_scr[:] += jax.lax.dot_general(
+            p.astype(cdt), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dov = jax.lax.dot_general(do, v_ref[0, 0].astype(cdt),
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        ds = p * (dov - dd_ref[0, 0][:, 0:1])
+        dk_scr[:] += jax.lax.dot_general(
+            ds.astype(cdt), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    if causal:
+        pl.when((ik * block_k) <= (iq * block_q + block_q - 1))(_compute)
+    else:
+        _compute()
+
+    @pl.when(t == nt - 1)
+    def _finish():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _llm_flash_bwd_impl(q, k, v, q_seg, kv_seg, out, lse, g,
+                        num_kv_heads: int, causal: bool,
+                        block_q: int, block_k: int):
+    """Fused flash backward: O(S) memory, probs recomputed per tile."""
+    B, S, nh, D = q.shape
+    group = nh // num_kv_heads
+    scale = D ** -0.5
+    # dd[b, h, i] = sum_d dout * out (the softmax-jacobian row term)
+    dd = jnp.einsum("bshd,bshd->bhs", g.astype(jnp.float32),
+                    out.astype(jnp.float32))
+    g = g.astype(q.dtype)
+    qp, kp, vp, q_seg, kv_seg, Sp = _llm_pad(q, k, v, q_seg, kv_seg,
+                                             block_q, block_k)
+    gp = jnp.pad(g, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+    dd = jnp.pad(dd, ((0, 0), (0, 0), (0, Sp - S)))
+    dd = jnp.broadcast_to(dd[..., None], dd.shape + (8,))  # lane-replicated
+
+    qt = qp.transpose(0, 2, 1, 3)                  # [B, nh, Sp, D]
+    kt = kp.transpose(0, 2, 1, 3)                  # [B, n_kv, Sp, D]
+    vt = vp.transpose(0, 2, 1, 3)
+    gt = gp.transpose(0, 2, 1, 3)
+    nq, nk = Sp // block_q, Sp // block_k
+
+    kern_q = functools.partial(_llm_bwd_dq_kernel, block_q=block_q,
+                               block_k=block_k, causal=causal, scale=scale)
+    dq = pl.pallas_call(
+        kern_q,
+        grid=(B, nh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q), lambda b, h, iq, ik: (b, iq)),
+            pl.BlockSpec((1, block_k), lambda b, h, iq, ik: (b, ik)),
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, iq, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, iq, ik: (b, h // group, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, iq, ik: (b, h // group, ik, 0)),
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, iq, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 8),
+                         lambda b, h, iq, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 8),
+                         lambda b, h, iq, ik: (b, h, iq, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D),
+                               lambda b, h, iq, ik: (b, h, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, nh, Sp, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+    )(q_seg, kv_seg, qt, kt, vt, gt, lse, dd)
+
+    kern_kv = functools.partial(_llm_bwd_dkv_kernel, block_q=block_q,
+                                block_k=block_k, causal=causal,
+                                scale=scale, n_q_tiles=nq)
+    dk, dv = pl.pallas_call(
+        kern_kv,
+        grid=(B, num_kv_heads, nk, group * nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q), lambda b, h, ik, t: (b, t % nq)),
+            pl.BlockSpec((1, block_k), lambda b, h, ik, t: (b, ik)),
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, ik, t: (b, h * group + t // nq,
+                                              t % nq, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, ik, t: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, ik, t: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, ik, t: (b, h * group + t // nq,
+                                              t % nq, 0)),
+            pl.BlockSpec((1, 1, block_q, 8),
+                         lambda b, h, ik, t: (b, h * group + t // nq,
+                                              t % nq, 0)),
+            pl.BlockSpec((1, 1, block_q, 8),
+                         lambda b, h, ik, t: (b, h * group + t // nq,
+                                              t % nq, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, ik, t: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, ik, t: (b, h, ik, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, num_kv_heads, Sp, D), k.dtype),
+            jax.ShapeDtypeStruct((B, num_kv_heads, Sp, D), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+    )(q_seg, kv_seg, qt, kt, vt, gt, lse, dd)
+
+    dq = dq.transpose(0, 2, 1, 3)[:, :S]
+    dk = dk.transpose(0, 2, 1, 3)[:, :S]
+    dv = dv.transpose(0, 2, 1, 3)[:, :S]
+    return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------

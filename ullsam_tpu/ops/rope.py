@@ -55,10 +55,27 @@ def rotate_half(x: Array) -> Array:
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
+def _rotate_half_matrix(dim: int, dtype) -> Array:
+    """[D, D] constant with (x @ P) == rotate_half(x), values exact.
+
+    The split/concat form creates D/2-lane tensors that tile at half
+    occupancy on TPU (the rope fusions ran at ~9 GB/s, ~13 ms/step of the
+    flagship trace; their 64-lane outputs also bloated the scan's saved
+    residuals). One ±1 one-hot matmul keeps every tensor at D lanes and
+    copies values exactly (single nonzero per output column)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (dim, dim), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (dim, dim), 1)
+    half = dim // 2
+    plus = (i + half == j).astype(jnp.float32)   # out[c>=half] = x[c-half]
+    minus = (i == j + half).astype(jnp.float32)  # out[c<half] = -x[c+half]
+    return (plus - minus).astype(dtype)
+
+
 def apply_rope(q: Array, k: Array, cos: Array, sin: Array) -> Tuple[Array, Array]:
     """q, k: [B, S, H, D]; cos/sin: [B, S, D] -> broadcast over heads."""
     cos = cos[:, :, None, :].astype(q.dtype)
     sin = sin[:, :, None, :].astype(q.dtype)
-    q_rot = q * cos + rotate_half(q) * sin
-    k_rot = k * cos + rotate_half(k) * sin
+    P = _rotate_half_matrix(q.shape[-1], q.dtype)
+    q_rot = q * cos + (q @ P) * sin
+    k_rot = k * cos + (k @ P) * sin
     return q_rot, k_rot
