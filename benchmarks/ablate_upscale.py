@@ -58,6 +58,43 @@ def _gelu(x):
 
 
 def make_kernel(mode, c4, eps):
+    if mode.startswith("ilp"):
+        # interleave N independent row-half chains so Mosaic can overlap
+        # one half's VPU (LN apply + GELUs) with the other's MXU matmuls
+        nsplit = int(mode[3:])
+
+        def kernel(keys_ref, hbd_ref, w1_ref, b1_ref, lns_ref, lnb_ref,
+                   w2_ref, b2_ref, o_ref):
+            x = keys_ref[0]
+            TN = x.shape[0]
+            hh = TN // nsplit
+            hbd = hbd_ref[0]
+            for i in range(nsplit):
+                xs = x[i * hh:(i + 1) * hh]
+                u1 = jax.lax.dot_general(
+                    xs, w1_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) + b1_ref[:]
+                C = u1.shape[-1]
+                gi = jax.lax.broadcasted_iota(jnp.int32, (C, 4), 0) // c4
+                gj = jax.lax.broadcasted_iota(jnp.int32, (C, 4), 1)
+                pool = (gi == gj).astype(jnp.float32) / c4
+                expand = jnp.transpose((gi == gj).astype(jnp.float32))
+                d = functools.partial(
+                    jax.lax.dot_general,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                m1 = d(u1, pool)
+                m2 = d(u1 * u1, pool)
+                var = jnp.maximum(m2 - m1 * m1, 0.0)
+                inv = jax.lax.rsqrt(var + eps)
+                u1 = (u1 - d(m1, expand)) * d(inv, expand) * lns_ref[:] \
+                    + lnb_ref[:]
+                u1 = _gelu(u1).astype(x.dtype)
+                u2 = d(u1, w2_ref[:]) + b2_ref[:]
+                u2 = _gelu(u2).astype(x.dtype)
+                o_ref[0, i * hh:(i + 1) * hh] = d(u2, hbd).astype(o_ref.dtype)
+        return kernel
+
     def kernel(keys_ref, hbd_ref, w1_ref, b1_ref, lns_ref, lnb_ref,
                w2_ref, b2_ref, o_ref):
         x = keys_ref[0]
@@ -162,7 +199,7 @@ def main():
     print(f"health: {2 * 4096**3 / (t / 1e3) / 1e12:.0f} TF/s", flush=True)
 
     args = (keys, hbd, w1c, b1t, lns, lnb, w2bd, b2t)
-    for mode in ("full", "stats_bf16", "stats_hilo", "no_ln",
+    for mode in ("full", "ilp2", "ilp4", "no_ln",
                  "no_elementwise"):
         for bn in (512, 1024):
             try:
