@@ -61,7 +61,14 @@ async function genMask(){document.getElementById('status').innerText='segmenting
 async function saveInst(){await api('/api/save_instance');pts=[];await refresh();}
 async function clearPts(){await api('/api/clear_points');pts=[];await refresh();}
 async function resetAll(){await api('/api/reset');pts=[];await refresh();}
-async function caption(){document.getElementById('status').innerText='captioning...';const r=await api('/api/caption',{question:'Describe the image in detail.'});document.getElementById('caption').innerText=r.caption;document.getElementById('status').innerText='';}
+async function caption(){const cap=document.getElementById('caption');const st=document.getElementById('status');st.innerText='captioning...';cap.innerText='';
+ const resp=await fetch('/api/caption_stream',{method:'POST',headers:{'Content-Type':'application/json'},body:JSON.stringify({session:'ui',question:'Describe the image in detail.'})});
+ const rd=resp.body.getReader();const dec=new TextDecoder();let buf='';
+ for(;;){const {done,value}=await rd.read();if(done)break;buf+=dec.decode(value,{stream:true});
+  for(let i;(i=buf.indexOf('\n\n'))>=0;){const ev=buf.slice(0,i);buf=buf.slice(i+2);
+   if(!ev.startsWith('data: '))continue;const d=ev.slice(6);if(d=='[DONE]')continue;
+   const o=JSON.parse(d);if(o.delta)cap.innerText+=o.delta;if(o.error)cap.innerText+=' [error: '+o.error+']';}}
+ st.innerText='';}
 </script></body></html>"""
 
 
@@ -142,6 +149,26 @@ class AppServer:
         return chat(self.params, self.cfg, self.tokenizer, sess.model_input,
                     question, gen=GenerationConfig(
                         max_new_tokens=max_new_tokens, **overrides))
+
+    def caption_stream(self, sess, question: str, max_new_tokens: int = 256,
+                       **sampling):
+        """Generator of caption text deltas — the streaming analog of
+        `caption` (reference stream_chat, modeling_internlm2.py:1230-1292,
+        which the reference app never wired to HTTP; we expose it as SSE)."""
+        if self.engine is not None:
+            yield from self.engine.stream_caption(
+                sess.display[None], question,
+                max_new_tokens=max_new_tokens, **sampling)
+            return
+        from ullsam_tpu.models.internlm2.generate import GenerationConfig
+        from ullsam_tpu.models.ullsam.chat import stream_chat
+
+        overrides = {k: v for k, v in sampling.items() if v is not None}
+        yield from stream_chat(self.params, self.cfg, self.tokenizer,
+                               sess.model_input, question,
+                               gen=GenerationConfig(
+                                   max_new_tokens=max_new_tokens,
+                                   **overrides))
 
     def view_png(self, sess) -> bytes:
         from PIL import Image
@@ -238,6 +265,37 @@ def make_handler(app: AppServer):
                                        int(req.get("max_new_tokens", 256)),
                                        **sampling)
                     self._json({"ok": True, "caption": text})
+                elif self.path == "/api/caption_stream":
+                    # Server-Sent Events: one `data: {json}` event per text
+                    # delta, then `data: [DONE]`.
+                    sampling = {
+                        k: cast(req[k]) for k, cast in
+                        [("temperature", float), ("top_p", float),
+                         ("top_k", int), ("do_sample", bool)] if k in req}
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.end_headers()
+                    try:
+                        for delta in app.caption_stream(
+                                sess,
+                                req.get("question",
+                                        "Describe the image in detail."),
+                                int(req.get("max_new_tokens", 256)),
+                                **sampling):
+                            payload = json.dumps({"delta": delta})
+                            self.wfile.write(
+                                f"data: {payload}\n\n".encode())
+                            self.wfile.flush()
+                        self.wfile.write(b"data: [DONE]\n\n")
+                        self.wfile.flush()
+                    except BrokenPipeError:
+                        pass  # client hung up mid-stream
+                    except Exception as e:  # headers already sent
+                        err = json.dumps(
+                            {"error": f"{type(e).__name__}: {e}"})
+                        self.wfile.write(f"data: {err}\n\n".encode())
+                        self.wfile.flush()
                 elif self.path == "/api/view":
                     png = app.view_png(sess)
                     self._json({"ok": True, "iou": sess.current_iou,
@@ -356,8 +414,12 @@ def _smoke(host, port) -> bool:
             f"http://{host}:{port}{path}",
             data=json.dumps(obj).encode(),
             headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req) as r:
-            return json.loads(r.read())
+        try:
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+        except urllib.error.HTTPError as e:  # surface the server's error
+            raise AssertionError(f"{path} -> {e.code}: "
+                                 f"{e.read().decode()[:500]}") from e
 
     rng = np.random.RandomState(0)
     img = (rng.rand(96, 120, 3) * 255).astype(np.uint8)
@@ -385,6 +447,29 @@ def _smoke(host, port) -> bool:
     r = post("/api/caption", {"session": "s", "max_new_tokens": 4})
     assert r["ok"] and isinstance(r["caption"], str), r
     print("caption:", repr(r["caption"][:50]))
+
+    # SSE streaming caption: parse the event stream, require [DONE]
+    req = urllib.request.Request(
+        f"http://{host}:{port}/api/caption_stream",
+        data=json.dumps({"session": "s", "max_new_tokens": 4}).encode(),
+        headers={"Content-Type": "application/json"})
+    deltas, done = [], False
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get("Content-Type") == "text/event-stream"
+        buf = r.read().decode()
+    for ev in buf.split("\n\n"):
+        if not ev.startswith("data: "):
+            continue
+        data = ev[len("data: "):]
+        if data == "[DONE]":
+            done = True
+        else:
+            obj = json.loads(data)
+            assert "error" not in obj, obj
+            deltas.append(obj["delta"])
+    assert done, f"stream missing [DONE]: {buf[:200]!r}"
+    print("stream caption:", repr("".join(deltas)[:50]),
+          f"({len(deltas)} events)")
     print("SMOKE OK")
     return True
 
