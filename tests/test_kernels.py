@@ -537,3 +537,57 @@ def test_fused_vit_block_kernels_match_xla_block(monkeypatch):
     np.testing.assert_allclose(np.asarray(gm_k),
                                np.asarray(jax.grad(m_ref)(x2)),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_rms_norm_and_swiglu_custom_vjp_match_autodiff():
+    """The minimal-residual custom VJPs (ops/layers._rms_norm/_swiglu)
+    match plain-jnp autodiff in value and all gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ullsam_tpu.ops import layers as L
+
+    rng = np.random.RandomState(7)
+    B, S, H, M = 2, 6, 16, 40
+    x = jnp.asarray(rng.randn(B, S, H), jnp.float32)
+    scale = jnp.asarray(rng.rand(H) + 0.5, jnp.float32)
+
+    def ref_rms(s, xx):
+        x32 = xx.astype(jnp.float32)
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        return ((x32 * jax.lax.rsqrt(var + 1e-5))
+                * s.astype(jnp.float32)).astype(xx.dtype)
+
+    def loss_ref(s, xx):
+        return jnp.sum(jnp.sin(ref_rms(s, xx)))
+
+    def loss_new(s, xx):
+        return jnp.sum(jnp.sin(L.rms_norm({"scale": s}, xx, eps=1e-5)))
+
+    v_r, g_r = jax.value_and_grad(loss_ref, argnums=(0, 1))(scale, x)
+    v_n, g_n = jax.value_and_grad(loss_new, argnums=(0, 1))(scale, x)
+    np.testing.assert_allclose(float(v_r), float(v_n), rtol=1e-6)
+    for a, b in zip(g_r, g_n):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    p = L.swiglu_init(jax.random.PRNGKey(0), H, M)
+
+    def ref_swiglu(pp, xx):
+        return L.linear(pp["w2"], jax.nn.silu(L.linear(pp["w1"], xx))
+                        * L.linear(pp["w3"], xx))
+
+    def loss_sw(fn, pp, xx):
+        return jnp.sum(jnp.cos(fn(pp, xx)))
+
+    v_r, g_r = jax.value_and_grad(
+        lambda pp, xx: loss_sw(ref_swiglu, pp, xx), argnums=(0, 1))(p, x)
+    v_n, g_n = jax.value_and_grad(
+        lambda pp, xx: loss_sw(L.swiglu, pp, xx), argnums=(0, 1))(p, x)
+    np.testing.assert_allclose(float(v_r), float(v_n), rtol=1e-6)
+    flat_r = jax.tree.leaves(g_r)
+    flat_n = jax.tree.leaves(g_n)
+    assert len(flat_r) == len(flat_n)
+    for a, b in zip(flat_r, flat_n):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -115,6 +115,36 @@ def test_hungarian_instance_loss():
     assert float(jnp.abs(g).max()) > 0 and np.isfinite(np.asarray(g)).all()
 
 
+def test_fused_upsampled_loss_matches_materialized():
+    """upsampled_instance_seg_loss == instance_seg_loss(bilinear_resize(.))
+    in values, metrics, AND gradient wrt the low-res logits (the fused
+    path is the train-step default; same math, reassociated sums)."""
+    from ullsam_tpu.ops.resize import bilinear_resize
+    from ullsam_tpu.train.losses import (instance_seg_loss,
+                                         upsampled_instance_seg_loss)
+
+    rng = np.random.RandomState(3)
+    B, I, h, H = 2, 3, 16, 64
+    low = jnp.asarray(rng.randn(B, I, h, h) * 2, jnp.float32)
+    gt = jnp.asarray((rng.rand(B, I, H, H) > 0.6).astype(np.float32))
+    valid = jnp.asarray([[1, 1, 0], [1, 0, 0]], jnp.float32)
+
+    def ref(lo):
+        return instance_seg_loss(bilinear_resize(lo, H, H), gt, valid)
+
+    def fused(lo):
+        return upsampled_instance_seg_loss(lo, gt, valid)
+
+    (t_r, m_r), g_r = jax.value_and_grad(ref, has_aux=True)(low)
+    (t_f, m_f), g_f = jax.value_and_grad(fused, has_aux=True)(low)
+    np.testing.assert_allclose(float(t_r), float(t_f), rtol=2e-5)
+    for k in ("bce", "dice", "iou"):
+        np.testing.assert_allclose(float(m_r[k]), float(m_f[k]), rtol=2e-5,
+                                   err_msg=k)
+    np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_f),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_train_step_runs_and_loss_decreases():
     params = F.fusion_init(jax.random.PRNGKey(0), CFG)
     tx, trainable, frozen = make_trainable_optimizer(params, TCFG)

@@ -18,6 +18,7 @@ Reference semantics mirrored (behavior, not code):
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Sequence, Tuple
 
@@ -176,12 +177,41 @@ def rms_norm_init(dim: int, dtype=jnp.float32) -> dict:
     return {"scale": jnp.ones((dim,), dtype)}
 
 
-def rms_norm(params: dict, x: Array, *, eps: float = 1e-5) -> Array:
-    """RMSNorm in fp32, cast back (modeling_internlm2.py:129-143 semantics)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _rms_norm(scale: Array, x: Array, eps: float) -> Array:
+    return _rms_norm_fwd(scale, x, eps)[0]
+
+
+def _rms_norm_fwd(scale, x, eps):
     x32 = x.astype(jnp.float32)
     var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
     y = x32 * jax.lax.rsqrt(var + eps)
-    return (y * params["scale"].astype(jnp.float32)).astype(x.dtype)
+    # residuals: input + scale ONLY (input dtype, typically bf16). The
+    # autodiff rule otherwise saves the fp32 upcast per call — on a
+    # 24-layer lax.scan that is two fp32 [L, B, S, H] stacks of dead HBM
+    # traffic per train step (measured ~10 ms/step on the flagship).
+    return (y * scale.astype(jnp.float32)).astype(x.dtype), (scale, x)
+
+
+def _rms_norm_bwd(eps, res, g):
+    scale, x = res
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    g32 = g.astype(jnp.float32)
+    gs = g32 * scale.astype(jnp.float32)
+    dx = rstd * gs - x32 * (rstd ** 3) * jnp.mean(
+        gs * x32, axis=-1, keepdims=True)
+    dscale = jnp.sum((g32 * x32 * rstd).reshape(-1, x.shape[-1]), axis=0)
+    return dscale.astype(scale.dtype), dx.astype(x.dtype)
+
+
+_rms_norm.defvjp(_rms_norm_fwd, _rms_norm_bwd)
+
+
+def rms_norm(params: dict, x: Array, *, eps: float = 1e-5) -> Array:
+    """RMSNorm in fp32, cast back (modeling_internlm2.py:129-143 semantics)."""
+    return _rms_norm(params["scale"], x, eps)
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +278,59 @@ def swiglu_init(key, dim: int, hidden: int, dtype=jnp.float32) -> dict:
     }
 
 
+@jax.custom_vjp
+def _swiglu(w1: Array, w3: Array, w2: Array, x: Array) -> Array:
+    return _swiglu_fwd(w1, w3, w2, x)[0]
+
+
+def _swiglu_fwd(w1, w3, w2, x):
+    a = jnp.dot(x, w1.astype(x.dtype), preferred_element_type=jnp.float32
+                ).astype(x.dtype)
+    b = jnp.dot(x, w3.astype(x.dtype), preferred_element_type=jnp.float32
+                ).astype(x.dtype)
+    p = (jax.nn.silu(a.astype(jnp.float32)).astype(x.dtype)) * b
+    y = jnp.dot(p, w2.astype(x.dtype), preferred_element_type=jnp.float32
+                ).astype(x.dtype)
+    # residuals: (x, a, b) at input dtype. Autodiff additionally stacks
+    # silu(a), the gate product, and fp32 sigmoid intermediates per scan
+    # layer ([L, B, S, 4H] each on the flagship LLM); silu and its
+    # derivative are cheap VPU recomputes.
+    return y, (w1, w3, w2, x, a, b)
+
+
+def _swiglu_bwd(res, g):
+    w1, w3, w2, x, a, b = res
+    dt = x.dtype
+    a32 = a.astype(jnp.float32)
+    sa = jax.nn.sigmoid(a32)
+    silu_a = (a32 * sa).astype(dt)
+    dsilu = (sa * (1.0 + a32 * (1.0 - sa))).astype(dt)
+    gp = jnp.dot(g, w2.astype(dt).T, preferred_element_type=jnp.float32
+                 ).astype(dt)
+    da = gp * b * dsilu
+    db = gp * silu_a
+    dx = (jnp.dot(da, w1.astype(dt).T, preferred_element_type=jnp.float32)
+          + jnp.dot(db, w3.astype(dt).T, preferred_element_type=jnp.float32)
+          ).astype(dt)
+    x2 = x.reshape(-1, x.shape[-1])
+    dw1 = jnp.dot(x2.T, da.reshape(-1, da.shape[-1]),
+                  preferred_element_type=jnp.float32).astype(w1.dtype)
+    dw3 = jnp.dot(x2.T, db.reshape(-1, db.shape[-1]),
+                  preferred_element_type=jnp.float32).astype(w3.dtype)
+    dw2 = jnp.dot((silu_a * b).reshape(-1, b.shape[-1]).T,
+                  g.reshape(-1, g.shape[-1]),
+                  preferred_element_type=jnp.float32).astype(w2.dtype)
+    return dw1, dw3, dw2, dx
+
+
+_swiglu.defvjp(_swiglu_fwd, _swiglu_bwd)
+
+
 def swiglu(params: dict, x: Array) -> Array:
     """SwiGLU MLP: w2(silu(w1 x) * w3 x) (modeling_internlm2.py:250-264)."""
-    return linear(params["w2"],
-                  jax.nn.silu(linear(params["w1"], x)) * linear(params["w3"], x))
+    if "qweight" in params["w1"]:  # int8 inference path: no custom vjp
+        return linear(params["w2"],
+                      jax.nn.silu(linear(params["w1"], x))
+                      * linear(params["w3"], x))
+    return _swiglu(params["w1"]["kernel"], params["w3"]["kernel"],
+                   params["w2"]["kernel"], x)

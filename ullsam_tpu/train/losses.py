@@ -104,6 +104,119 @@ def hungarian_instance_loss(pred_logits: Array, gt_masks: Array,
     return instance_seg_loss(matched_pred, matched_gt, pair_valid)
 
 
+@jax.custom_vjp
+def _upsampled_seg_sums(low: Array, gt: Array, mh: Array, mw: Array
+                        ) -> Tuple[Array, ...]:
+    """Per-instance reduced loss sums of bilinear-upsampled logits.
+
+    Computes every reduction BCE/Dice/IoU need over ``up = mh @ low @ mwᵀ``
+    WITHOUT keeping full-resolution residuals for the backward: the custom
+    VJP saves only ``low``/``gt`` and recomputes ``up`` tile-free in one
+    fused pass. The linear BCE term is pulled to low resolution exactly
+    (``sum(up*gt) = sum(low * (mhᵀ gt mw))``), so its gradient is a
+    constant low-res tensor. Replaces the reference's materialized
+    F.interpolate→BCE/Dice chain (train_joint_v2.py:605-812,1072-1078),
+    which XLA otherwise turns into ~30 ms of full-res elementwise fusions
+    per step (docs/BENCHMARKS.md round-3 audit).
+
+    low [..., h, w] float; gt [..., H, W] in {0,1}; mh [H, h]; mw [W, w].
+    Returns per-instance ``[...]``-shaped sums:
+      (softplus(up), up*gt, sigmoid(up), sigmoid(up)*gt, gt,
+       1[up>0]*gt, 1[up>0])
+    """
+    return _upsampled_seg_sums_fwd(low, gt, mh, mw)[0]
+
+
+def _upsampled_seg_sums_fwd(low, gt, mh, mw):
+    low = low.astype(jnp.float32)
+    gt = gt.astype(jnp.float32)
+    up = jnp.einsum("jw,...hw->...hj", mw, low,
+                    preferred_element_type=jnp.float32)
+    up = jnp.einsum("ih,...hj->...ij", mh, up,
+                    preferred_element_type=jnp.float32)
+    gt_low = jnp.einsum("ih,...ij->...hj", mh, gt,
+                        preferred_element_type=jnp.float32)
+    gt_low = jnp.einsum("jw,...hj->...hw", mw, gt_low,
+                        preferred_element_type=jnp.float32)
+    red = (-2, -1)
+    softplus = jnp.maximum(up, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(up)))
+    sig = jax.nn.sigmoid(up)
+    hard = (up > 0.0).astype(jnp.float32)
+    sums = (jnp.sum(softplus, red),
+            jnp.sum(low * gt_low, red),
+            jnp.sum(sig, red),
+            jnp.sum(sig * gt, red),
+            jnp.sum(gt, red),
+            jnp.sum(hard * gt, red),
+            jnp.sum(hard, red))
+    return sums, (low, gt, gt_low, mh, mw)
+
+
+def _upsampled_seg_sums_bwd(res, cts):
+    low, gt, gt_low, mh, mw = res
+    a_sp, a_upgt, a_sig, a_siggt, _, _, _ = cts  # hard/gt sums: no grad
+    up = jnp.einsum("jw,...hw->...hj", mw, low,
+                    preferred_element_type=jnp.float32)
+    up = jnp.einsum("ih,...hj->...ij", mh, up,
+                    preferred_element_type=jnp.float32)
+    sig = jax.nn.sigmoid(up)
+    dsig = sig * (1.0 - sig)
+    # d(sum)/d(up), all terms in ONE full-res pass
+    g = (a_sp[..., None, None] * sig
+         + a_sig[..., None, None] * dsig
+         + a_siggt[..., None, None] * (dsig * gt))
+    d_low = jnp.einsum("ih,...ij->...hj", mh, g,
+                       preferred_element_type=jnp.float32)
+    d_low = jnp.einsum("jw,...hj->...hw", mw, d_low,
+                       preferred_element_type=jnp.float32)
+    d_low = d_low + a_upgt[..., None, None] * gt_low
+    return (d_low, jnp.zeros_like(gt), jnp.zeros_like(mh),
+            jnp.zeros_like(mw))
+
+
+_upsampled_seg_sums.defvjp(_upsampled_seg_sums_fwd, _upsampled_seg_sums_bwd)
+
+
+def upsampled_instance_seg_loss(low_logits: Array, gt_masks: Array,
+                                valid: Optional[Array] = None,
+                                smooth: float = 1e-7
+                                ) -> Tuple[Array, dict]:
+    """instance_seg_loss(bilinear_resize(low, H, W), gt) — fused.
+
+    Exactly the BCE+Dice+IoU of the upsampled logits (same math,
+    reassociated reductions) with no [.., H, W] residuals saved for the
+    backward. low_logits [B, I, h, w]; gt_masks [B, I, H, W].
+    """
+    from ullsam_tpu.ops.resize import _bilinear_matrix
+
+    H, W = gt_masks.shape[-2:]
+    h, w = low_logits.shape[-2:]
+    mh = jnp.asarray(_bilinear_matrix(H, h))
+    mw = jnp.asarray(_bilinear_matrix(W, w))
+    gt = jax.lax.stop_gradient(gt_masks.astype(jnp.float32))
+    (s_softplus, s_upgt, s_sig, s_siggt, s_gt, s_hardgt,
+     s_hard) = _upsampled_seg_sums(low_logits, gt, mh, mw)
+
+    npx = float(H * W)
+    bce = (s_softplus - s_upgt) / npx                       # [B, I]
+    dice = 1.0 - (2.0 * s_siggt + smooth) / (s_sig + s_gt + smooth)
+    iou = jax.lax.stop_gradient(
+        (s_hardgt + smooth) / (s_hard + s_gt - s_hardgt + smooth))
+
+    if valid is None:
+        valid = jnp.ones(bce.shape, jnp.float32)
+    valid = valid.astype(jnp.float32)
+    denom = jnp.maximum(valid.sum(), 1.0)
+
+    def masked_mean(x):
+        return jnp.sum(x * valid) / denom
+
+    bce_m, dice_m, iou_m = masked_mean(bce), masked_mean(dice), masked_mean(iou)
+    total = bce_m + dice_m
+    return total, {"bce": bce_m, "dice": dice_m, "iou": iou_m,
+                   "seg_loss": total}
+
+
 def instance_seg_loss(pred_logits: Array, gt_masks: Array,
                       valid: Optional[Array] = None
                       ) -> Tuple[Array, dict]:

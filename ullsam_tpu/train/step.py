@@ -170,15 +170,18 @@ def seg_loss_fn(params, cfg: FusionConfig, tcfg: TrainConfig, batch: dict
                                   batch["point_labels"])
 
     Hm, Wm = batch["masks"].shape[-2:]
-    from ullsam_tpu.ops.resize import bilinear_resize
-    up = bilinear_resize(low.astype(jnp.float32), Hm, Wm)  # (:1072-1078)
     if tcfg.instance_matching == "hungarian":
+        from ullsam_tpu.ops.resize import bilinear_resize
         from ullsam_tpu.train.losses import hungarian_instance_loss
+        up = bilinear_resize(low.astype(jnp.float32), Hm, Wm)  # (:1072-1078)
         seg_loss, metrics = hungarian_instance_loss(
             up, batch["masks"], batch.get("instance_valid"))
     else:
-        seg_loss, metrics = instance_seg_loss(up, batch["masks"],
-                                              batch.get("instance_valid"))
+        # fused upsample(:1072-1078)+BCE+Dice: identical math, no full-res
+        # residuals (see losses.upsampled_instance_seg_loss)
+        from ullsam_tpu.train.losses import upsampled_instance_seg_loss
+        seg_loss, metrics = upsampled_instance_seg_loss(
+            low, batch["masks"], batch.get("instance_valid"))
     total = tcfg.seg_weight * seg_loss
     if tcfg.llm_weight and "loss" in out:
         total = total + tcfg.llm_weight * out["loss"]
