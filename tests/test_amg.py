@@ -238,3 +238,43 @@ def test_device_multicrop_end_to_end():
     np.testing.assert_allclose(boxes[nonempty][:, 0],
                                np.asarray(data["boxes"])[nonempty][:, 0],
                                atol=8)  # low-res box vs full-res box quantization
+
+
+def test_device_multicrop_layer2_matches_host_path():
+    """crop_n_layers=2: the generalized multi-pool device path
+    (_collect_device_multicrop_pools — stacked per-geometry sweeps + one
+    cross-pool NMS/placement kernel) commits EXACTLY the host stitch
+    path's mask set. crop_nms_thresh=1.0 disables suppression so both
+    paths keep every valid candidate (no tie-order ambiguity); reference
+    crop pyramid semantics: utils/amg.py:200-264."""
+    params = S.sam_init(jax.random.PRNGKey(5), TINY_SAM)
+    img = (np.random.RandomState(5).rand(80, 72, 3) * 255).astype(np.uint8)
+    kw = dict(points_per_side=2, crop_n_layers=2, pred_iou_thresh=0.0,
+              stability_score_thresh=0.0, box_nms_thresh=1.0,
+              crop_nms_thresh=1.0, max_masks=256, points_per_batch=4)
+
+    dev = A.AutomaticMaskGenerator(TINY_SAM, params, **kw)
+    masks_d, data_d = dev.generate_dense(img)
+    masks_d = np.asarray(masks_d)
+
+    host = A.AutomaticMaskGenerator(TINY_SAM, params, **kw,
+                                    device_multicrop=False)
+    masks_h, data_h = host.generate_dense(img)
+    masks_h = np.asarray(masks_h)
+
+    assert len(data_d["iou_preds"]) == len(data_h["iou_preds"]) > 20
+    assert masks_d.shape == masks_h.shape == (len(masks_h), 80, 72)
+
+    # same candidate set: match rows by sorted (iou, stability, area)
+    od = np.lexsort((data_d["areas"], data_d["stability"],
+                     data_d["iou_preds"]))
+    oh = np.lexsort((data_h["areas"], data_h["stability"],
+                     data_h["iou_preds"]))
+    np.testing.assert_allclose(data_d["iou_preds"][od],
+                               data_h["iou_preds"][oh], atol=1e-5)
+    np.testing.assert_allclose(data_d["stability"][od],
+                               data_h["stability"][oh], atol=1e-5)
+    np.testing.assert_array_equal(data_d["areas"][od],
+                                  data_h["areas"][oh])
+    # identical full-frame placement, mask by mask
+    np.testing.assert_array_equal(masks_d[od], masks_h[oh])

@@ -560,6 +560,107 @@ def _amg_device_sweep_crops(params, cfg: SamConfig, crops, points,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("orig_hw", "crop_hws", "crop_nms_thresh", "final_k",
+                     "scale_full", "scale_crops"))
+def _merge_crop_pools_device(full_out, pools, offsets, areas,
+                             orig_hw: Tuple[int, int],
+                             crop_hws: Tuple[Tuple[int, int], ...],
+                             crop_nms_thresh: float, final_k: int,
+                             scale_full: Tuple[float, float],
+                             scale_crops: Tuple[Tuple[float, float], ...]):
+    """Cross-crop NMS + survivor gather over ANY number of crop pools.
+
+    Generalizes `_merge_crops_device` from one equal-size crop pool to G
+    pools of distinct geometries, which is what a crop_n_layers>=2 pyramid
+    (and the unequal edge crops `generate_crop_boxes` produces via its
+    ceil split, utils/amg.py:220-247) turns into: each pool g holds the
+    stacked sweep of K_g same-size crops (masks [K_g, M_g, ch_g, cw_g]).
+    All candidates NMS together in the original frame (smaller crops
+    preferred, reference crop-loop semantics utils/amg.py:200-264);
+    survivor masks are placed at their crop offsets on device.
+    """
+    H, W = orig_hw
+    Mf = full_out["valid"].shape[0]
+    G = len(pools)
+
+    bf = full_out["boxes_low"] * jnp.asarray(
+        [scale_full[1], scale_full[0]] * 2, jnp.float32)
+    cand_boxes, cand_valid, cand_iou, cand_stab, cand_pref = \
+        [bf], [full_out["valid"]], [full_out["iou"]], \
+        [full_out["stability"]], \
+        [jnp.full((Mf,), 1.0 / (float(H) * float(W) + 1.0), jnp.float32)]
+    # per-candidate source crop box [x0,y0,x1,y1] for reporting
+    cand_crop = [jnp.broadcast_to(
+        jnp.asarray([0, 0, W, H], jnp.float32), (Mf, 4))]
+    sizes = [Mf]
+    for g in range(G):
+        K, Mc = pools[g]["valid"].shape
+        ch, cw = crop_hws[g]
+        sh, sw = scale_crops[g]
+        off = offsets[g].astype(jnp.float32)          # [K, 2] (x0, y0)
+        bc = pools[g]["boxes_low"] * jnp.asarray([sw, sh] * 2, jnp.float32)
+        bc = bc + jnp.concatenate([off, off], -1)[:, None, :]
+        cand_boxes.append(bc.reshape(K * Mc, 4))
+        cand_valid.append(pools[g]["valid"].reshape(-1))
+        cand_iou.append(pools[g]["iou"].reshape(-1))
+        cand_stab.append(pools[g]["stability"].reshape(-1))
+        cand_pref.append(jnp.repeat(
+            1.0 / (areas[g].astype(jnp.float32) + 1.0), Mc))
+        cb = jnp.concatenate(
+            [off, off + jnp.asarray([cw, ch], jnp.float32)], -1)
+        cand_crop.append(jnp.repeat(cb, Mc, axis=0))
+        sizes.append(K * Mc)
+
+    boxes = jnp.concatenate(cand_boxes, axis=0)
+    valid = jnp.concatenate(cand_valid)
+    iou = jnp.concatenate(cand_iou)
+    stab = jnp.concatenate(cand_stab)
+    pref = jnp.concatenate(cand_pref)
+    crop_box_of = jnp.concatenate(cand_crop, axis=0)
+    scores = jnp.where(valid, pref + 1e-9 * iou, -jnp.inf)
+
+    idx, keep = _device_nms_topk(boxes, scores, crop_nms_thresh, final_k)
+
+    starts = np.cumsum([0] + sizes)[:-1]              # static pool starts
+    pool_id = sum((idx >= s).astype(jnp.int32)
+                  for s in starts[1:]) if G else jnp.zeros_like(idx)
+    from_full = pool_id == 0
+
+    def build(i):
+        ix = idx[i]
+
+        def b_full(_):
+            return full_out["masks"][jnp.clip(ix, 0, Mf - 1)]
+
+        def b_pool(g):
+            K, Mc = pools[g]["valid"].shape
+
+            def f(_):
+                rel = jnp.clip(ix - starts[g + 1], 0, K * Mc - 1)
+                mc = pools[g]["masks"][rel // Mc, rel % Mc]
+                return jax.lax.dynamic_update_slice(
+                    jnp.zeros((H, W), bool), mc,
+                    (offsets[g][rel // Mc, 1], offsets[g][rel // Mc, 0]))
+            return f
+
+        return jax.lax.switch(pool_id[i],
+                              [b_full] + [b_pool(g) for g in range(G)],
+                              None)
+
+    masks = jax.lax.map(build, jnp.arange(final_k))
+    masks = masks & keep[:, None, None]
+    return {
+        "masks": masks, "valid": keep,
+        "iou": jnp.take(iou, idx), "stability": jnp.take(stab, idx),
+        "boxes": jnp.take(boxes, idx, axis=0),
+        "from_full": from_full,
+        "crop_box_of": jnp.take(crop_box_of, idx, axis=0),
+        "areas": jnp.sum(masks, axis=(1, 2), dtype=jnp.int32),
+    }
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("orig_hw", "crop_hw", "crop_nms_thresh", "final_k",
                      "scale_full", "scale_crop"))
 def _merge_crops_device(full_out, crops_out, crop_offsets, crop_areas,
@@ -650,7 +751,8 @@ class AutomaticMaskGenerator:
                  min_mask_region_area: int = 0,
                  output_mode: str = "binary_mask",
                  max_masks: Optional[int] = None,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32,
+                 device_multicrop: bool = True):
         assert output_mode in ("binary_mask", "uncompressed_rle", "coco_rle")
         self.cfg = cfg
         self.params = params
@@ -667,6 +769,7 @@ class AutomaticMaskGenerator:
         self.min_mask_region_area = min_mask_region_area
         self.output_mode = output_mode
         self.max_masks = max_masks
+        self.device_multicrop = device_multicrop
         self.compute_dtype = jnp.dtype(compute_dtype)
         if self.compute_dtype != jnp.float32:
             from ullsam_tpu.core.tree import cast_floating
@@ -846,6 +949,92 @@ class AutomaticMaskGenerator:
         data.filter(valid)
         return data, [merged["masks"]], orig_size
 
+    def _collect_device_multicrop_pools(self, image: np.ndarray, crop_boxes,
+                                        layer_idxs, orig_size):
+        """ANY crop pyramid fully on device (crop_n_layers>=2, unequal edge
+        crops): crops are grouped into same-geometry pools, each pool sweeps
+        as ONE stacked dispatch, and a single cross-pool NMS + placement
+        kernel commits survivors into the full frame. Generalizes
+        `_collect_device_multicrop` beyond the equal-size layer-1 case
+        (reference crop pyramid: utils/amg.py:200-264 crop loop +
+        generate_crop_boxes ceil split :220-247)."""
+        from ullsam_tpu.inference.transforms import get_preprocess_shape
+
+        full_handle = self._process_crop(image, crop_boxes[0], 0, orig_size,
+                                         defer=True)
+        full_out, _, _, input_full, _, _, _ = full_handle
+
+        groups: dict = {}
+        for b, li in zip(crop_boxes[1:], layer_idxs[1:]):
+            groups.setdefault((li, b[3] - b[1], b[2] - b[0]), []).append(b)
+
+        lr = 4 * self.cfg.prompt_encoder.image_embedding_size[0]
+        size = self.cfg.vit.img_size
+        ppb = self.points_per_batch
+        pools, offsets, areas, crop_hws, scale_crops = [], [], [], [], []
+        for (li, ch, cw), boxes in groups.items():
+            crop_imgs = np.stack([image[b[1]:b[3], b[0]:b[2]]
+                                  for b in boxes])
+            input_crop = get_preprocess_shape(ch, cw, size)
+            pts_crop = self.point_grids[li] * np.array([cw, ch])[None]
+            in_pts = self.transform.apply_coords(pts_crop, (ch, cw))
+            n_c = len(in_pts)
+            if -n_c % ppb:
+                in_pts = np.concatenate(
+                    [in_pts, np.zeros((-n_c % ppb, 2), in_pts.dtype)])
+            max_out_c = min(self.max_masks or 512, n_c * 3)
+            pools.append(_amg_device_sweep_crops(
+                self.params, self.cfg, jnp.asarray(crop_imgs),
+                jnp.asarray(in_pts, jnp.float32), points_per_batch=ppb,
+                max_out=max_out_c, pred_iou_thresh=self.pred_iou_thresh,
+                stability_thresh=self.stability_score_thresh,
+                stability_offset=self.stability_score_offset,
+                box_nms_thresh=self.box_nms_thresh, input_hw=input_crop,
+                crop_hw=(ch, cw), n_real=n_c,
+                compute_dtype=self.compute_dtype))
+            offsets.append(jnp.asarray([[b[0], b[1]] for b in boxes],
+                                       jnp.int32))
+            areas.append(jnp.full((len(boxes),), float(ch) * float(cw),
+                                  jnp.float32))
+            crop_hws.append((ch, cw))
+            scale_crops.append((size / lr * ch / input_crop[0],
+                                size / lr * cw / input_crop[1]))
+
+        final_k = self.max_masks or 512
+        merged = _merge_crop_pools_device(
+            full_out, tuple(pools), tuple(offsets), tuple(areas),
+            tuple(orig_size), tuple(crop_hws), self.crop_nms_thresh,
+            final_k,
+            scale_full=(size / lr * orig_size[0] / input_full[0],
+                        size / lr * orig_size[1] / input_full[1]),
+            scale_crops=tuple(scale_crops))
+
+        stats = jax.device_get({
+            "valid": merged["valid"], "iou": merged["iou"],
+            "stability": merged["stability"], "boxes": merged["boxes"],
+            "areas": merged["areas"],
+            "crop_box_of": merged["crop_box_of"]})
+        valid = stats["valid"].astype(bool)
+        K = final_k
+        data = MaskData(
+            iou_preds=stats["iou"].astype(np.float32),
+            stability=stats["stability"].astype(np.float32),
+            boxes=stats["boxes"].astype(np.float32),
+            points=np.zeros((K, 2), np.float32),
+            areas=stats["areas"].astype(np.int64),
+            valid=valid,
+            # masks are already placed in the full frame (uncrop no-op);
+            # the true source crop is reported separately
+            crop_boxes=np.asarray([[0, 0, orig_size[1], orig_size[0]]] * K,
+                                  np.float32),
+            report_crop_boxes=stats["crop_box_of"].astype(np.float32),
+            crop_size=[tuple(orig_size)] * K,
+            mask_slot=np.arange(K),
+            crop_index=np.zeros((K,), np.int64),
+        )
+        data.filter(valid)
+        return data, [merged["masks"]], orig_size
+
     def _collect(self, image: np.ndarray):
         """Sweep all crops. Returns (MaskData of VALID survivors after
         cross-crop NMS, list of per-crop device mask arrays; each MaskData
@@ -854,11 +1043,15 @@ class AutomaticMaskGenerator:
         crop_boxes, layer_idxs = generate_crop_boxes(
             orig_size, self.crop_n_layers, self.crop_overlap_ratio)
 
-        if (self.crop_n_layers == 1 and len(crop_boxes) > 1):
+        if (self.device_multicrop and self.crop_n_layers == 1
+                and len(crop_boxes) > 1):
             sizes = {(b[3] - b[1], b[2] - b[0]) for b in crop_boxes[1:]}
             if len(sizes) == 1:
                 return self._collect_device_multicrop(image, crop_boxes,
                                                       orig_size)
+        if self.device_multicrop and len(crop_boxes) > 1:
+            return self._collect_device_multicrop_pools(
+                image, crop_boxes, layer_idxs, orig_size)
 
         data = MaskData(iou_preds=np.zeros((0,), np.float32),
                         stability=np.zeros((0,), np.float32),
@@ -1086,15 +1279,19 @@ def amg_sharded_sweep(params, cfg: SamConfig, images, points, mesh, *,
                       box_nms_thresh: float = 1.0,
                       input_hw: Tuple[int, int] = None,
                       out_hw: Tuple[int, int] = None,
-                      compute_dtype=jnp.bfloat16):
+                      compute_dtype=jnp.bfloat16,
+                      data_axes="data"):
     """Image-parallel AMG over a device mesh (SURVEY §2.10 inference DP).
 
-    images: [D, H, W, 3] raw uint8/float, one image per device along the
-    mesh's 'data' axis; points: [N, 2] shared prompt grid (same-size
-    images). Each device runs the full single-dispatch `_amg_device_sweep`
-    on its image — no cross-device communication at all (masks stay
-    device-local, sharded along 'data'). Returns the per-image sweep dict
-    stacked on a leading sharded axis.
+    images: [D, H, W, 3] raw uint8/float, one image per device along
+    ``data_axes`` (a mesh axis name or tuple of names — pass
+    ``("data", "model")`` to spread images over EVERY device of a 2D
+    training/serving mesh instead of building a separate dp-only mesh);
+    points: [N, 2] shared prompt grid (same-size images). Each device runs
+    the full single-dispatch `_amg_device_sweep` on its image — no
+    cross-device communication at all (masks stay device-local, sharded
+    along ``data_axes``). Returns the per-image sweep dict stacked on a
+    leading sharded axis.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax import shard_map
@@ -1120,8 +1317,8 @@ def amg_sharded_sweep(params, cfg: SamConfig, images, points, mesh, *,
             compute_dtype=compute_dtype)
 
     fn = shard_map(one, mesh=mesh,
-                   in_specs=(P(), P("data"), P()),
-                   out_specs=P("data"))
+                   in_specs=(P(), P(data_axes), P()),
+                   out_specs=P(data_axes))
     out = jax.jit(fn)(params, images, points)
     # per-device results concatenate along axis 0; restore [D, ...] leaves
     return jax.tree.map(lambda a: a.reshape(D, -1, *a.shape[1:])
