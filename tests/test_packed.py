@@ -108,17 +108,31 @@ def test_fusion_packed_loss_masks_boundaries():
     assert out["logits"].shape == (1, S, CFG.vocab_size)
 
 
-def test_tp_sharded_decode_matches_replicated():
+import pytest
+
+
+@pytest.mark.parametrize("tp", [2, 4, 8])
+def test_tp_sharded_decode_matches_replicated(tp):
     """Multi-chip SERVING: the continuous-batching decode step under a
     ('data','model') mesh with Megatron-TP sharded LLM params + the KV
     cache sharded over kv heads reproduces the single-device step (XLA
-    inserts all collectives)."""
+    inserts all collectives). tp=2/4/8 — the flagship's 8 kv heads divide
+    all three; here the tiny config carries 8 kv heads for the same
+    reason."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from ullsam_tpu.parallel.partitioning import create_mesh, shard_params
 
-    params = _params()
+    # 8 kv heads so every tp degree divides evenly (flagship layout)
+    cfg = InternLM2Config(vocab_size=128, hidden_size=64,
+                          intermediate_size=128, num_hidden_layers=2,
+                          num_attention_heads=8, num_key_value_heads=8,
+                          max_position_embeddings=2048, bias=False,
+                          rope_theta=10000.0, pad_token_id=0,
+                          bos_token_id=1, eos_token_id=2)
+    from ullsam_tpu.models.internlm2.model import internlm2_init
+    params = internlm2_init(jax.random.PRNGKey(0), cfg)
     B, max_len = 2, 64
-    cache = M.init_cache(CFG, B, max_len)
+    cache = M.init_cache(cfg, B, max_len)
     rng = np.random.RandomState(0)
     # fake a 10-token prefill state
     k0 = rng.randn(*cache.k.shape).astype(np.float32) * 0.1
@@ -128,13 +142,13 @@ def test_tp_sharded_decode_matches_replicated():
     cache = M.KVCache(k=jnp.asarray(k0, cache.k.dtype),
                       v=jnp.asarray(v0, cache.v.dtype),
                       mask=jnp.asarray(mask), index=cache.index)
-    emb = jnp.asarray(rng.randn(B, 1, CFG.hidden_size) * 0.1, jnp.float32)
+    emb = jnp.asarray(rng.randn(B, 1, cfg.hidden_size) * 0.1, jnp.float32)
     active = jnp.ones((B,), bool)
 
     ref_logits, ref_cache = M.internlm2_decode_step_multi(
-        params, CFG, emb, cache, active)
+        params, cfg, emb, cache, active)
 
-    mesh = create_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    mesh = create_mesh(dp=1, tp=tp, devices=jax.devices()[:tp])
     p = shard_params({"llm": params}, mesh)["llm"]
     kv_spec = NamedSharding(mesh, P(None, None, None, "model", None))
     sc = M.KVCache(k=jax.device_put(cache.k, kv_spec),
@@ -144,7 +158,7 @@ def test_tp_sharded_decode_matches_replicated():
                                         NamedSharding(mesh, P())))
     with jax.sharding.set_mesh(mesh):
         step = jax.jit(lambda pp, e, c, a: M.internlm2_decode_step_multi(
-            pp, CFG, e, c, a))
+            pp, cfg, e, c, a))
         logits, _ = step(p, emb, sc, active)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
                                atol=2e-5, rtol=2e-5)
