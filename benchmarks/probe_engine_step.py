@@ -22,6 +22,7 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     attend = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    max_len = int(sys.argv[4]) if len(sys.argv) > 4 else 2560
     import __graft_entry__ as g
     from ullsam_tpu.core.tree import cast_floating
     from ullsam_tpu.models.ullsam import fusion as F
@@ -38,7 +39,7 @@ def main():
         if quant == "int8":
             from ullsam_tpu.models.internlm2.quant import quantize_llm_int8
             p = dict(params, llm=quantize_llm_int8(params["llm"]))
-        cache = LLM.init_cache(cfg.llm, B, 2560)
+        cache = LLM.init_cache(cfg.llm, B, max_len)
         cache = LLM.KVCache(k=cache.k, v=cache.v,
                             mask=cache.mask.at[:, :256].set(1),
                             index=jnp.asarray(256, jnp.int32))
@@ -48,21 +49,24 @@ def main():
                                            pad_to=B)
         rng = jax.random.PRNGKey(0)
 
-        def run():
-            return _engine_step(p, cfg, toks, cache, act, samp, rng,
-                                n_steps=n_steps, dynamic_sampling=False,
-                                pad_token_id=2, attend_len=attend)
-        em, c2, _ = run()
-        np.asarray(em)
-        t0 = time.perf_counter()
-        iters = 6
-        for _ in range(iters):
+        for label, kw in (("cache-carry", dict(window=False)),
+                          ("window     ", dict(window=True))):
+            def run():
+                return _engine_step(p, cfg, toks, cache, act, samp, rng,
+                                    n_steps=n_steps, dynamic_sampling=False,
+                                    pad_token_id=2, attend_len=attend, **kw)
             em, c2, _ = run()
-        np.asarray(em)
-        dt = (time.perf_counter() - t0) / iters
-        rate = B * n_steps / dt
-        print(f"quant={quant}: chunk({B}x{n_steps}, attend={attend}) "
-              f"{dt*1000:7.2f} ms -> {rate:7.0f} tok/s", flush=True)
+            np.asarray(em)
+            t0 = time.perf_counter()
+            iters = 6
+            for _ in range(iters):
+                em, c2, _ = run()
+            np.asarray(em)
+            dt = (time.perf_counter() - t0) / iters
+            rate = B * n_steps / dt
+            print(f"quant={quant} {label}: "
+                  f"chunk({B}x{n_steps}, attend={attend}, max_len={max_len})"
+                  f" {dt*1000:7.2f} ms -> {rate:7.0f} tok/s", flush=True)
 
 
 if __name__ == "__main__":

@@ -67,6 +67,106 @@ def test_decode_step_multi_matches_single():
                                np.asarray(logits_single), atol=1e-5)
 
 
+@pytest.mark.parametrize("unroll,split_attn",
+                         [(True, False), (False, True), (True, True)])
+def test_decode_step_multi_variants_match(unroll, split_attn):
+    """The unrolled / split-softmax decode variants (serving fast path:
+    no per-layer cache-window copies) reproduce the scan+in-window-update
+    baseline — logits AND the updated cache, active and inactive rows,
+    with a length-bucketed window."""
+    from ullsam_tpu.core.config import internlm2_tiny
+    from ullsam_tpu.models.internlm2 import model as M
+
+    cfg = internlm2_tiny()
+    params = M.internlm2_init(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(1)
+    B, max_len = 3, 16
+    cache = M.init_cache(cfg, B, max_len, dtype=jnp.float32)
+    k0 = rng.randn(*cache.k.shape).astype(np.float32) * 0.1
+    v0 = rng.randn(*cache.v.shape).astype(np.float32) * 0.1
+    mask = np.zeros(cache.mask.shape, np.int32)
+    lens = [5, 7, 3]                       # ragged right-packed rows
+    for b, n in enumerate(lens):
+        mask[b, :n] = 1
+    cache = M.KVCache(k=jnp.asarray(k0), v=jnp.asarray(v0),
+                      mask=jnp.asarray(mask), index=cache.index)
+    emb = jnp.asarray(rng.randn(B, 1, cfg.hidden_size) * 0.1, jnp.float32)
+    active = jnp.asarray([True, True, False])
+
+    ref_logits, ref_cache = M.internlm2_decode_step_multi(
+        params, cfg, emb, cache, active, attend_len=8)
+    got_logits, got_cache = M.internlm2_decode_step_multi(
+        params, cfg, emb, cache, active, attend_len=8,
+        unroll=unroll, split_attn=split_attn)
+    np.testing.assert_allclose(np.asarray(got_logits[active]),
+                               np.asarray(ref_logits[active]),
+                               atol=2e-5, rtol=2e-5)
+    for a, b in ((got_cache.k, ref_cache.k), (got_cache.v, ref_cache.v)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(got_cache.mask),
+                                  np.asarray(ref_cache.mask))
+
+
+def test_engine_step_window_matches_cache_carry():
+    """The window-carry chunk loop (serving default: KV window through the
+    scan carry, one cache splice per chunk) emits the same tokens and
+    final cache as the cache-carry loop, across multiple chunks with
+    ragged rows and an inactive slot."""
+    from ullsam_tpu.core.config import (FusionConfig, InternLM2Config,
+                                        MaskDecoderConfig,
+                                        PromptEncoderConfig, SamConfig,
+                                        ViTConfig, internlm2_tiny)
+    from ullsam_tpu.models.internlm2 import model as M
+    from ullsam_tpu.models.internlm2.generate import (GenerationConfig,
+                                                      SamplingParams)
+    from ullsam_tpu.serve.engine import _engine_step
+
+    llm = internlm2_tiny()
+    cfg = FusionConfig(
+        sam=SamConfig(
+            vit=ViTConfig(img_size=64, patch_size=8, embed_dim=16, depth=1,
+                          num_heads=2, mlp_ratio=1.0, out_chans=16,
+                          window_size=2, global_attn_indexes=()),
+            prompt_encoder=PromptEncoderConfig(
+                embed_dim=16, image_embedding_size=(8, 8),
+                input_image_size=(64, 64), mask_in_chans=8),
+            mask_decoder=MaskDecoderConfig(
+                transformer_dim=16, transformer_mlp_dim=32,
+                transformer_num_heads=2, iou_head_hidden_dim=8)),
+        llm=llm, vit_feature_dim=16)
+    from ullsam_tpu.models.ullsam import fusion as F
+    params = F.fusion_init(jax.random.PRNGKey(2), cfg)
+
+    rng = np.random.RandomState(2)
+    B, max_len = 3, 32
+    cache = M.init_cache(llm, B, max_len, dtype=jnp.float32)
+    mask = np.zeros(cache.mask.shape, np.int32)
+    for b, n in enumerate([5, 7, 3]):
+        mask[b, :n] = 1
+    cache = M.KVCache(
+        k=jnp.asarray(rng.randn(*cache.k.shape).astype(np.float32) * 0.1),
+        v=jnp.asarray(rng.randn(*cache.v.shape).astype(np.float32) * 0.1),
+        mask=jnp.asarray(mask), index=cache.index)
+    toks = jnp.asarray(rng.randint(3, 100, (B,)).astype(np.int32))
+    active = jnp.asarray([True, True, False])
+    samp = SamplingParams.from_configs([GenerationConfig()] * B, pad_to=B)
+    key = jax.random.PRNGKey(0)
+
+    args = dict(n_steps=3, dynamic_sampling=False, pad_token_id=2,
+                attend_len=16)
+    em_r, c_r, _ = _engine_step(params, cfg, toks, cache, active, samp,
+                                key, window=False, **args)
+    em_w, c_w, _ = _engine_step(params, cfg, toks, cache, active, samp,
+                                key, window=True, **args)
+    np.testing.assert_array_equal(np.asarray(em_r), np.asarray(em_w))
+    np.testing.assert_array_equal(np.asarray(c_r.mask), np.asarray(c_w.mask))
+    np.testing.assert_allclose(np.asarray(c_r.k), np.asarray(c_w.k),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(c_r.v), np.asarray(c_w.v),
+                               atol=2e-5, rtol=2e-5)
+
+
 @needs_tokenizer
 def test_engine_concurrent_requests():
     from ullsam_tpu.models.internlm2.generate import GenerationConfig

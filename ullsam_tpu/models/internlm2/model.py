@@ -450,10 +450,106 @@ def internlm2_decode_step(params: dict, cfg: InternLM2Config,
     return logits, KVCache(k=new_k, v=new_v, mask=new_mask, index=slot + 1)
 
 
+def internlm2_decode_step_win(params: dict, cfg: InternLM2Config,
+                              token_embeds: Array, k_win: Array,
+                              v_win: Array, mask: Array, active: Array,
+                              ntk_seq_len: Optional[int] = None
+                              ) -> Tuple[Array, Array, Array, Array]:
+    """One continuous-batching decode step over a KV WINDOW — no cache.
+
+    The serving chunk loop (_engine_step) carries (k_win, v_win, mask) as
+    scan state and splices the window back into the full cache ONCE per
+    chunk. The per-step `cache.at[:, rows, pos].set` of decode_step_multi
+    forced XLA to rebuild the full [L, B, max_len, n_kv, hd] cache pair
+    every token (~2 GB of copy traffic per b8 step at max_len 2560 —
+    measured: step time tracks max_len even at fixed attend_len).
+
+    k_win/v_win [L, B, W, n_kv, hd]; mask [B, max_len] (only [:W] used for
+    attention; the write position pos=sum(mask) must be < W). ntk_seq_len:
+    the FULL cache length (rope NTK scaling must match the cache-based
+    steps, which pass cache.k.shape[2]). Returns (logits [B, V],
+    k_new [L, B, n_kv, hd], v_new, new_mask) — the caller scatters
+    k_new/v_new into its carried window at [rows, pos].
+    """
+    B = token_embeds.shape[0]
+    rows = jnp.arange(B)
+    pos = jnp.sum(mask, axis=-1)                  # [B] next free slot
+    W = k_win.shape[2]
+    cos, sin = rope_cos_sin(cfg, pos[:, None],
+                            ntk_seq_len=ntk_seq_len or W)
+
+    new_mask = mask.at[rows, pos].set(jnp.where(active, 1, mask[rows, pos]))
+    attn_mask = jnp.where(new_mask[:, None, :W].astype(bool), 0.0, NEG_INF)
+
+    x = token_embeds
+
+    def body(carry, xs):
+        x = carry
+        lp, kc, vc = xs                            # [B, W, n_kv, hd]
+        h = L.rms_norm(lp["attention_norm"], x, eps=cfg.rms_norm_eps)
+        qkv = L.linear(lp["wqkv"], h)
+        q, k, v = _split_wqkv(qkv, cfg)
+        q, k = apply_rope(q, k, cos, sin)
+        k1 = k[:, 0].astype(kc.dtype)
+        v1 = v[:, 0].astype(vc.dtype)
+        kc = kc.at[rows, pos].set(k1)
+        vc = vc.at[rows, pos].set(v1)
+        attn = gqa_attention(q, kc.astype(q.dtype), vc.astype(q.dtype),
+                             attn_mask, cfg)
+        x = x + L.linear(lp["wo"], attn.reshape(B, 1, cfg.hidden_size))
+        h = L.rms_norm(lp["ffn_norm"], x, eps=cfg.rms_norm_eps)
+        x = x + L.swiglu(lp, h)
+        return x, (k1, v1)
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], k_win,
+                                               v_win))
+    last_hidden = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
+    logits = L.linear(params["output"], last_hidden)[:, 0, :]
+    return logits, k_new, v_new, new_mask
+
+
+def gqa_attention_decode_split(q: Array, k_win: Array, v_win: Array,
+                               k1: Array, v1: Array, mask_win: Array,
+                               self_ok: Array, cfg: InternLM2Config) -> Array:
+    """Single-query GQA over a FROZEN cache window + the step's own k/v.
+
+    The new token's key/value never touch the cache inside the layer body:
+    its score is a rank-1 correction merged into the softmax (flash-style
+    two-piece merge). This lets decode read the cache window untouched —
+    the in-body `kc.at[rows, pos].set` each layer otherwise forces XLA to
+    materialize a fresh [B, W, n_kv, hd] window copy per layer (~400 MB of
+    dead HBM writes per b8/W512 step, measured).
+
+    q [B, 1, nh, hd]; k_win/v_win [B, W, n_kv, hd]; k1/v1 [B, n_kv, hd];
+    mask_win additive [B, W] (EXCLUDING the new slot); self_ok [B] bool.
+    """
+    B, _, nh, hd = q.shape
+    nkv, g = cfg.num_key_value_heads, cfg.num_kv_groups
+    qg = q.reshape(B, nkv, g, hd)
+    scale = hd ** -0.5
+    s_win = jnp.einsum("bngd,btnd->bngt", qg, k_win.astype(q.dtype),
+                       preferred_element_type=jnp.float32) * scale
+    s_win = s_win + mask_win[:, None, None, :]
+    s_self = jnp.einsum("bngd,bnd->bng", qg, k1.astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+    s_self = jnp.where(self_ok[:, None, None], s_self, NEG_INF)
+    m = jnp.maximum(jnp.max(s_win, axis=-1), s_self)
+    p_win = jnp.exp(s_win - m[..., None])
+    p_self = jnp.exp(s_self - m)
+    denom = jnp.sum(p_win, axis=-1) + p_self
+    o = jnp.einsum("bngt,btnd->bngd", p_win.astype(v_win.dtype), v_win,
+                   preferred_element_type=jnp.float32)
+    o = (o + p_self[..., None] * v1.astype(jnp.float32)[:, :, None, :])
+    o = o / denom[..., None]
+    return o.reshape(B, 1, nh, hd).astype(q.dtype)
+
+
 def internlm2_decode_step_multi(params: dict, cfg: InternLM2Config,
                                 token_embeds: Array, cache: KVCache,
                                 active: Array,
-                                attend_len: Optional[int] = None
+                                attend_len: Optional[int] = None,
+                                unroll: bool = False,
+                                split_attn: bool = False
                                 ) -> Tuple[Array, KVCache]:
     """Continuous-batching decode step: PER-ROW write positions.
 
@@ -479,7 +575,13 @@ def internlm2_decode_step_multi(params: dict, cfg: InternLM2Config,
 
     new_mask = cache.mask.at[rows, pos].set(
         jnp.where(active, 1, cache.mask[rows, pos]))
-    attn_mask = jnp.where(new_mask[:, None, :W].astype(bool), 0.0, NEG_INF)
+    if split_attn:
+        # window mask EXCLUDES the new slot (handled as the self term)
+        old_mask = jnp.where(cache.mask[:, :W].astype(bool), 0.0, NEG_INF
+                             ).astype(jnp.float32)
+    else:
+        attn_mask = jnp.where(new_mask[:, None, :W].astype(bool), 0.0,
+                              NEG_INF)
 
     x = token_embeds
 
@@ -497,17 +599,36 @@ def internlm2_decode_step_multi(params: dict, cfg: InternLM2Config,
         q, k = apply_rope(q, k, cos, sin)
         k1 = k[:, 0].astype(kc.dtype)
         v1 = v[:, 0].astype(vc.dtype)
-        kc = kc.at[rows, pos].set(k1)
-        vc = vc.at[rows, pos].set(v1)
-        attn = gqa_attention(q, kc.astype(q.dtype), vc.astype(q.dtype),
-                             attn_mask, cfg)
+        if split_attn:
+            attn = gqa_attention_decode_split(q, kc, vc, k1, v1, old_mask,
+                                              active, cfg)
+        else:
+            kc = kc.at[rows, pos].set(k1)
+            vc = vc.at[rows, pos].set(v1)
+            attn = gqa_attention(q, kc.astype(q.dtype), vc.astype(q.dtype),
+                                 attn_mask, cfg)
         x = x + L.linear(lp["wo"], attn.reshape(B, 1, cfg.hidden_size))
         h = L.rms_norm(lp["ffn_norm"], x, eps=cfg.rms_norm_eps)
         x = x + L.swiglu(lp, h)
         return x, (k1, v1)
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (params["layers"], cache.k[:, :, :W], cache.v[:, :, :W]))
+    if unroll:
+        # static python loop: every weight slab / cache window is a STATIC
+        # slice XLA can fuse into its consumer read, where the scan's
+        # per-iteration dynamic-slice of stacked [L, ...] xs materializes
+        # a copy of each layer's operands (≈2x weight traffic at decode)
+        k_list, v_list = [], []
+        for li in range(cfg.num_hidden_layers):
+            lp = jax.tree.map(lambda a: a[li], params["layers"])
+            x, (k1, v1) = body(x, (lp, cache.k[li, :, :W],
+                                   cache.v[li, :, :W]))
+            k_list.append(k1)
+            v_list.append(v1)
+        k_new = jnp.stack(k_list)
+        v_new = jnp.stack(v_list)
+    else:
+        x, (k_new, v_new) = jax.lax.scan(
+            body, x, (params["layers"], cache.k[:, :, :W], cache.v[:, :, :W]))
     last_hidden = L.rms_norm(params["norm"], x, eps=cfg.rms_norm_eps)
     logits = L.linear(params["output"], last_hidden)[:, 0, :]
     new_k = cache.k.at[:, rows, pos].set(k_new)   # [L, B, n_kv, hd]
