@@ -794,20 +794,32 @@ class AutomaticMaskGenerator:
 
         points_scale = np.array(crop_size)[None, ::-1]  # (w, h)
         points_for_image = self.point_grids[layer_idx] * points_scale
-        in_pts = self.transform.apply_coords(points_for_image, crop_size)
+
+        # the transformed point grid depends only on (layer, crop size) —
+        # reuse one device buffer across a batch of same-size images
+        # instead of re-uploading an identical tensor per image (each
+        # upload is one serialized relay transfer in the dispatch loop)
+        key = (layer_idx, crop_size)
+        cached = getattr(self, "_pts_cache", None)
+        if cached is not None and cached[0] == key:
+            in_pts_dev, n = cached[1], cached[2]
+        else:
+            in_pts = self.transform.apply_coords(points_for_image, crop_size)
+            n = len(in_pts)
+            n_pad = -n % self.points_per_batch
+            if n_pad:
+                in_pts = np.concatenate([in_pts, np.zeros((n_pad, 2),
+                                                          in_pts.dtype)])
+            in_pts_dev = jnp.asarray(in_pts, jnp.float32)
+            self._pts_cache = (key, in_pts_dev, n)
 
         ppb = self.points_per_batch
-        n = len(in_pts)
-        n_pad = -n % ppb
-        if n_pad:
-            in_pts = np.concatenate([in_pts, np.zeros((n_pad, 2),
-                                                      in_pts.dtype)])
         max_out = min(self.max_masks or 512, n * 3)
 
         out = _amg_device_sweep(
             self.params, self.cfg,
             jnp.asarray(cropped)[None],
-            jnp.asarray(in_pts, jnp.float32),
+            in_pts_dev,
             points_per_batch=ppb, max_out=max_out,
             pred_iou_thresh=self.pred_iou_thresh,
             stability_thresh=self.stability_score_thresh,
@@ -1123,7 +1135,12 @@ class AutomaticMaskGenerator:
         for handle, orig_size in handles:
             cd, masks_dev, _ = self._collect_crop(*handle)
             cd.filter(cd["valid"])
-            masks = jnp.take(masks_dev, jnp.asarray(cd["mask_slot"]), axis=0)
+            slots = cd["mask_slot"]
+            if (len(slots) == masks_dev.shape[0]
+                    and np.array_equal(slots, np.arange(len(slots)))):
+                masks = masks_dev  # all slots valid: skip the identity gather
+            else:
+                masks = jnp.take(masks_dev, jnp.asarray(slots), axis=0)
             results.append((masks, cd))
         return results
 

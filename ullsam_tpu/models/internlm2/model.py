@@ -21,6 +21,7 @@ Layouts: activations [B, S, H]; q/k/v [B, S, heads, head_dim].
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -93,22 +94,47 @@ def _split_wqkv(qkv: Array, cfg: InternLM2Config) -> Tuple[Array, Array, Array]:
 
 
 def gqa_attention(q: Array, k: Array, v: Array, mask: Array,
-                  cfg: InternLM2Config) -> Array:
+                  cfg: InternLM2Config, *, causal: bool = False,
+                  seg: Optional[Tuple[Array, Array]] = None) -> Array:
     """Grouped-query attention without repeat_kv.
 
-    q: [B, S, nh, hd]; k/v: [B, T, n_kv, hd]; mask additive [B, 1, S, T] or
-    broadcastable. Softmax fp32 (reference :409). Returns [B, S, nh, hd].
+    q: [B, S, nh, hd]; k/v: [B, T, n_kv, hd]; mask additive [B, 1, S, T] /
+    [B, 1, T] / broadcastable, or None. Softmax fp32 (reference :409).
+    causal=True applies q_pos >= kv_pos via fused iotas (S and T must be
+    position-aligned, i.e. full-sequence S == T); seg=(seg_q [B,S],
+    seg_k [B,T]) restricts attention to matching packed segments. These
+    replace materialized [S, T] additive masks so no mask tensor ever
+    hits HBM. Returns [B, S, nh, hd].
     """
     B, S, nh, hd = q.shape
     T = k.shape[1]
     nkv, g = cfg.num_key_value_heads, cfg.num_kv_groups
     qg = q.reshape(B, S, nkv, g, hd)
-    logits = jnp.einsum("bsngd,btnd->bngst", qg, k,
+    # s-major logits ("bsngt", not "bngst"): keeps q/logits in the layout
+    # the rope/split chain produces, so no relayout copies form at the
+    # dot boundaries (the head-major order cost ~14 ms/step of pure
+    # layout-change fusions on the flagship backward trace).
+    logits = jnp.einsum("bsngd,btnd->bsngt", qg, k,
                         preferred_element_type=jnp.float32)
     logits = logits * (hd ** -0.5)
-    logits = logits + mask.reshape(B, 1, 1, mask.shape[-2], T)
+    if mask is not None:
+        m = mask.reshape(B, 1, 1, mask.shape[-2], T)
+        logits = logits + jnp.moveaxis(m, 3, 1)  # [B, S|1, 1, 1, T]
+    if causal:
+        # iota-compare causal masking fuses into the logits fusion for
+        # free; a materialized [S, T] f32 additive mask costs a 4.7 MB
+        # write+read per layer per pass (~1.5 ms/step re-expanded inside
+        # the 24-layer scan on the flagship trace).
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
+        logits = jnp.where((q_pos >= kv_pos)[None, :, None, None, :],
+                           logits, NEG_INF)
+    if seg is not None:
+        seg_q, seg_k = seg
+        same = (seg_q[:, :, None, None, None] == seg_k[:, None, None, None, :])
+        logits = jnp.where(same, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bngst,btnd->bsngd", probs, v,
+    out = jnp.einsum("bsngt,btnd->bsngd", probs, v,
                      preferred_element_type=jnp.float32)
     return out.reshape(B, S, nh, hd).astype(q.dtype)
 
@@ -147,21 +173,29 @@ def _layer_body(cfg: InternLM2Config, x: Array, lp: dict, cos: Array,
     cache slabs or the per-call k/v (cache-less mode).
 
     use_flash (cache-less mode only): mask is a (q_seg, kv_seg) tuple and
-    attention dispatches to the Pallas causal GQA kernel.
+    attention dispatches to the Pallas causal GQA kernel. Cache-less XLA
+    mode: mask is a (kmask [B, 1, T] additive, seg-pair-or-None) tuple —
+    causality comes from fused iotas inside gqa_attention, never a
+    materialized [S, T] tensor.
     """
-    h = L.rms_norm(lp["attention_norm"], x, eps=cfg.rms_norm_eps)
-    qkv = L.linear(lp["wqkv"], h)
-    q, k, v = _split_wqkv(qkv, cfg)
-    q, k = apply_rope(q, k, cos, sin)
-
+    B, S = x.shape[:2]
     if use_flash and k_cache is None:
         from ullsam_tpu.ops.pallas.flash_attention import llm_flash_attention
+        h = L.rms_norm(lp["attention_norm"], x, eps=cfg.rms_norm_eps)
+        qkv = L.linear(lp["wqkv"], h)
+        q, k, v = _split_wqkv(qkv, cfg)
+        q, k = apply_rope(q, k, cos, sin)
         q_seg, kv_seg = mask
         attn = llm_flash_attention(q, k, v, q_seg, kv_seg,
                                    num_kv_heads=cfg.num_key_value_heads,
                                    causal=True)
         new_k, new_v = k, v
+        x = x + L.linear(lp["wo"], attn.reshape(B, S, cfg.hidden_size))
     elif k_cache is not None:
+        h = L.rms_norm(lp["attention_norm"], x, eps=cfg.rms_norm_eps)
+        qkv = L.linear(lp["wqkv"], h)
+        q, k, v = _split_wqkv(qkv, cfg)
+        q, k = apply_rope(q, k, cos, sin)
         k_cache = jax.lax.dynamic_update_slice_in_dim(
             k_cache, k.astype(k_cache.dtype), write_index, axis=1)
         v_cache = jax.lax.dynamic_update_slice_in_dim(
@@ -169,21 +203,54 @@ def _layer_body(cfg: InternLM2Config, x: Array, lp: dict, cos: Array,
         attn = gqa_attention(q, k_cache.astype(q.dtype),
                              v_cache.astype(q.dtype), mask, cfg)
         new_k, new_v = k_cache, v_cache
+        x = x + L.linear(lp["wo"], attn.reshape(B, S, cfg.hidden_size))
     else:
-        # checkpoint the attention inner: without it the non-remat scan
-        # saves per-layer [n_kv, g, S, T] f32 logits + bf16 probs for the
-        # backward (1.35 GB/step at S=1088 on the flagship — the largest
-        # dynamic-update-slice fusions in the step trace); recomputing
-        # probs from (q, k, mask) in the backward is cheaper than the HBM
-        # round trip. Composes harmlessly with the whole-body remat.
-        attn = jax.checkpoint(
-            lambda q_, k_, v_, m_: gqa_attention(q_, k_, v_, m_, cfg)
-        )(q, k, v, mask)
-        new_k, new_v = k, v
+        # checkpoint the WHOLE attention half-layer (norm -> qkv -> rope ->
+        # attention -> wo). Its only saved residual is x — which the scan
+        # carries anyway — so neither the per-layer [S, nh, hd] q/k/v nor
+        # the [n_kv, g, S, T] f32 logits are ever stacked for the backward
+        # (1.35 GB/step at S=1088 on the flagship). Narrower boundaries
+        # measured worse: checkpointing only gqa_attention saved q/k/v at
+        # the seam in awkward [B, n_kv, S, g, hd]-family layouts and the
+        # backward spent ~14 ms/step in pure relayout copies between the
+        # rematted region and the surrounding rope/linear ops (round-4
+        # trace: fusion.4694/4695/4669). The recompute adds one qkv
+        # projection + rope per layer (~0.06 ms MXU).
+        # Checkpoint-boundary A/B (round 4, measured on the flagship step):
+        # "inner" (default) remats only the attention probs — 139.8 ms;
+        # "half" remats the whole norm->qkv->rope->attn->wo half-layer —
+        # 143.6-144.1 ms but drops ~215 MB/step of stacked q/k/v residuals
+        # (the recompute re-pays the rope/einsum relayout copies in the
+        # backward, which is where the 3-4 ms goes). Use "half" when
+        # activation memory, not step time, is the binding constraint.
+        kmask, seg = mask
+        if os.environ.get("ULLSAM_LLM_ATTN_CKPT", "inner") == "inner":
+            h = L.rms_norm(lp["attention_norm"], x, eps=cfg.rms_norm_eps)
+            qkv = L.linear(lp["wqkv"], h)
+            q, k, v = _split_wqkv(qkv, cfg)
+            q, k = apply_rope(q, k, cos, sin)
+            attn = jax.checkpoint(
+                lambda q_, k_, v_, m_: gqa_attention(q_, k_, v_, m_, cfg,
+                                                     causal=True, seg=seg)
+            )(q, k, v, kmask)
+            x = x + L.linear(lp["wo"], attn.reshape(B, S, cfg.hidden_size))
+            new_k, new_v = None, None
+        else:
+            def attn_half(x_, w_, cos_, sin_, kmask_, seg_):
+                h_ = L.rms_norm(w_["attention_norm"], x_,
+                                eps=cfg.rms_norm_eps)
+                qkv_ = L.linear(w_["wqkv"], h_)
+                q_, k_, v_ = _split_wqkv(qkv_, cfg)
+                q_, k_ = apply_rope(q_, k_, cos_, sin_)
+                a_ = gqa_attention(q_, k_, v_, kmask_, cfg, causal=True,
+                                   seg=seg_)
+                return L.linear(w_["wo"], a_.reshape(B, S, cfg.hidden_size))
 
-    B, S = x.shape[:2]
-    attn = attn.reshape(B, S, cfg.hidden_size)
-    x = x + L.linear(lp["wo"], attn)
+            w = {"attention_norm": lp["attention_norm"], "wqkv": lp["wqkv"],
+                 "wo": lp["wo"]}
+            x = x + jax.checkpoint(attn_half)(x, w, cos, sin, kmask, seg)
+            new_k, new_v = None, None
+
     h = L.rms_norm(lp["ffn_norm"], x, eps=cfg.rms_norm_eps)
     x = x + L.swiglu(lp, h)
     return x, new_k, new_v
@@ -243,18 +310,23 @@ def internlm2_forward(
     # 24-layer fwd measured ~146 TFLOP/s on v5e); the flash kernel wins
     # once the S^2 logits stop fitting in fused scratch — see the measured
     # crossover sweep in docs/BENCHMARKS.md (flash wins from S=2048 up).
+    # ULLSAM_LLM_FLASH_MIN overrides the crossover for A/B experiments.
     from ullsam_tpu.ops.pallas import backend_ok
-    use_flash = (backend_ok() and S >= 2048)
+    use_flash = (backend_ok()
+                 and S >= int(os.environ.get("ULLSAM_LLM_FLASH_MIN", "2048")))
     seg = (segment_ids.astype(jnp.int32) if segment_ids is not None
            else attention_mask.astype(jnp.int32))
     if use_flash:
         mask = (seg, seg)
     else:
-        mask = causal_mask(attention_mask, S, S)
-        if segment_ids is not None:
-            cross = jnp.where(seg[:, :, None] == seg[:, None, :], 0.0,
-                              NEG_INF)
-            mask = mask + cross
+        # factored mask: key-validity as a tiny [B, 1, T] additive term;
+        # causality (and packed-segment blocking) fuse as iota/compare
+        # terms inside gqa_attention — the [S, T] f32 mask tensor the
+        # reference materializes (modeling_internlm2.py:937-969) never
+        # exists.
+        kmask = jnp.where(attention_mask.astype(bool), 0.0,
+                          NEG_INF).astype(jnp.float32)[:, None, :]
+        mask = (kmask, (seg, seg) if segment_ids is not None else None)
 
     stacked = params["layers"]
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os as _os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -283,6 +284,14 @@ def _swiglu(w1: Array, w3: Array, w2: Array, x: Array) -> Array:
     return _swiglu_fwd(w1, w3, w2, x)[0]
 
 
+# Backward residual mode: "ab" saves the two [*, hidden] projections per
+# layer (no recompute in the backward); "x" saves only the input and
+# re-projects a/b in the backward (two extra hidden-width dots, ~0.37 ms
+# per flagship LLM layer, in exchange for dropping ~36 MB/layer of scan
+# residual stacking). A/B via ULLSAM_SWIGLU_SAVE=x.
+_SWIGLU_SAVE = _os.environ.get("ULLSAM_SWIGLU_SAVE", "ab")
+
+
 def _swiglu_fwd(w1, w3, w2, x):
     a = jnp.dot(x, w1.astype(x.dtype), preferred_element_type=jnp.float32
                 ).astype(x.dtype)
@@ -295,12 +304,19 @@ def _swiglu_fwd(w1, w3, w2, x):
     # silu(a), the gate product, and fp32 sigmoid intermediates per scan
     # layer ([L, B, S, 4H] each on the flagship LLM); silu and its
     # derivative are cheap VPU recomputes.
+    if _SWIGLU_SAVE == "x":
+        return y, (w1, w3, w2, x, None, None)
     return y, (w1, w3, w2, x, a, b)
 
 
 def _swiglu_bwd(res, g):
     w1, w3, w2, x, a, b = res
     dt = x.dtype
+    if a is None:
+        a = jnp.dot(x, w1.astype(dt), preferred_element_type=jnp.float32
+                    ).astype(dt)
+        b = jnp.dot(x, w3.astype(dt), preferred_element_type=jnp.float32
+                    ).astype(dt)
     a32 = a.astype(jnp.float32)
     sa = jax.nn.sigmoid(a32)
     silu_a = (a32 * sa).astype(dt)

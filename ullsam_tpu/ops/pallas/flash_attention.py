@@ -138,7 +138,12 @@ def _vit_flash_impl(q: Array, k: Array, v: Array, rel_h: Array,
 
     qs = (q * (D ** -0.5)).astype(q.dtype)
     grid = (B, N // block_q, N // block_k)
-    rel_hw = jnp.concatenate([rel_h, rel_w], axis=-1).astype(jnp.float32)
+    # bf16 compute consumes the bias factors at bf16 anyway (_bias_select
+    # rounds them before the selection dot), so ship them to the kernel at
+    # bf16 and halve their HBM write+read (~100 MB/layer on ViT-H global);
+    # f32 compute keeps f32 factors for the hi/lo exact-selection path.
+    rel_dtype = jnp.float32 if q.dtype == jnp.float32 else q.dtype
+    rel_hw = jnp.concatenate([rel_h, rel_w], axis=-1).astype(rel_dtype)
 
     kernel = functools.partial(_vit_kernel, kh=KH, kw=KW, block_k=block_k)
     return pl.pallas_call(
