@@ -120,3 +120,40 @@ def test_last_valid_index():
     mask = jnp.asarray([[1, 1, 1, 0, 0], [0, 0, 1, 1, 1], [1, 1, 1, 1, 1]])
     np.testing.assert_array_equal(np.asarray(last_valid_index(mask)),
                                   [2, 4, 4])
+
+
+def test_gqa_fused_mask_matches_materialized():
+    """gqa_attention's fused iota-causal + segment + [B,1,T] key-validity
+    masking must equal the materialized causal_mask formulation it
+    replaced (round 4: the [S,S] f32 additive mask never hits HBM)."""
+    rng = np.random.RandomState(0)
+    B, S, nh, nkv, hd = 2, 16, 4, 2, 8
+    cfg = dataclasses.replace(TINY, num_attention_heads=nh,
+                              num_key_value_heads=nkv)
+    q = jnp.asarray(rng.randn(B, S, nh, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, nkv, hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, nkv, hd), jnp.float32)
+    att = np.ones((B, S), np.int32)
+    att[0, 12:] = 0  # right padding on row 0
+
+    dense = M.causal_mask(jnp.asarray(att), S, S)  # [B, S, S]
+    ref = M.gqa_attention(q, k, v, dense, cfg)
+
+    kmask = jnp.where(jnp.asarray(att).astype(bool), 0.0,
+                      M.NEG_INF).astype(jnp.float32)[:, None, :]
+    fused = M.gqa_attention(q, k, v, kmask, cfg, causal=True)
+    # padded-query rows see the same keys either way; compare valid rows
+    valid = att.astype(bool)
+    np.testing.assert_allclose(np.asarray(fused)[valid],
+                               np.asarray(ref)[valid], atol=1e-5)
+
+    # packed segments: two docs per row must match the block-diag mask
+    seg = np.ones((B, S), np.int32)
+    seg[:, 8:] = 2
+    segj = jnp.asarray(seg)
+    cross = jnp.where(segj[:, :, None] == segj[:, None, :], 0.0, M.NEG_INF)
+    ref_seg = M.gqa_attention(q, k, v, dense + cross, cfg)
+    fused_seg = M.gqa_attention(q, k, v, kmask, cfg, causal=True,
+                                seg=(segj, segj))
+    np.testing.assert_allclose(np.asarray(fused_seg)[valid],
+                               np.asarray(ref_seg)[valid], atol=1e-5)
