@@ -8,6 +8,20 @@ vs_baseline: ratio vs the reference GPU path. The reference publishes no
 numbers (BASELINE.md) and no GPU is reachable here, so the denominator is
 the documented estimate REF_BASELINE_MASKS_PER_SEC (see README); treat it
 as provisional until a measured reference number exists.
+
+Relay-degradation defenses (round-5; BENCH_r04 recorded 692.6 masks/s at
+27.2% spread inside a degraded-relay window vs 1980.2 in-repo):
+  * untimed compile-warmup probe before the timed health loop
+  * health probe BEFORE AND AFTER every timed run, not once at startup
+  * runs rejected and re-run when the after-probe is degraded or the
+    run is <50% of the best accepted run; earlier accepted runs are
+    retro-rejected if a later run doubles the best
+  * adaptive median-of-N-healthy: keeps running until >=3 healthy runs
+    with spread <=8%, within a wall-clock budget
+  * full telemetry in the JSON (per-run values + probe times, rejected
+    runs, `relay_suspect`) so a degraded window is machine-visible; the
+    suspect flag compares against the committed in-repo reference
+    numbers below.
 """
 
 import json
@@ -32,6 +46,29 @@ def _log(msg):
 # strongest reading of that range. Replace with a measurement if a GPU
 # ever becomes reachable.
 REF_BASELINE_MASKS_PER_SEC = 50.0
+
+# In-repo reference numbers (v5e-1, bf16, healthy relay — see
+# docs/BENCHMARKS.md). Used ONLY to set `relay_suspect` in the output
+# JSON: a driver run that lands far below these on the same code is
+# almost certainly a degraded-relay window (measured r3/r4 failure
+# mode), and the flag makes that machine-visible instead of burying it
+# in prose. Update when the in-repo median moves.
+INREPO_HEADLINE_MASKS_PER_SEC = 1980.0
+INREPO_REALISTIC_MASKS_PER_SEC = 1639.0
+RELAY_SUSPECT_FRACTION = 0.75  # below this x in-repo => suspect
+
+# A tiny-op host round trip is ~25-60 ms healthy through the tunnel;
+# degraded-window probes measured 5-130+ s. 2 s is comfortably between.
+PROBE_DEGRADED_MS = 2000.0
+
+
+def _probe_ms() -> float:
+    """One timed tiny-op host-sync probe (the only honest sync on the
+    axon relay is a host transfer)."""
+    import jax.numpy as jnp
+    t0 = time.perf_counter()
+    np.asarray(jnp.sum(jnp.ones((256, 256))))
+    return (time.perf_counter() - t0) * 1000.0
 
 
 def bench_point_masks(n_prompts: int = 64, iters: int = 5):
@@ -79,26 +116,103 @@ def _settle_relay(max_wait_s: float = 300.0):
     """Wait for the TPU relay to leave its post-process-churn degraded
     state before timing anything: a killed TPU process wedges the relay
     for 5-20 min, and numbers taken inside that window run 2-4x slow
-    (measured round 3/4; the 833 masks/s r4 outlier traced to this).
-    Probes a tiny op until it completes in ~interactive time."""
-    import jax
-    import jax.numpy as jnp
-
+    (measured round 3/4). Probes a tiny op until it completes in
+    ~interactive time. The first probe is untimed (XLA compile)."""
     t_start = time.perf_counter()
+    first = True
     while True:
-        t0 = time.perf_counter()
-        np.asarray(jnp.sum(jnp.ones((256, 256))))
-        dt = time.perf_counter() - t0
-        if dt < 5.0:
-            _log(f"relay healthy (probe {dt * 1000:.0f} ms)")
-            return
+        dt_ms = _probe_ms()
+        if first:
+            first = False  # compile probe: never judge health on it
+            continue
+        if dt_ms < PROBE_DEGRADED_MS:
+            _log(f"relay healthy (probe {dt_ms:.0f} ms)")
+            return True
         waited = time.perf_counter() - t_start
         if waited > max_wait_s:
-            _log(f"relay still slow after {waited:.0f}s (probe {dt:.1f}s) "
-                 "— benching anyway; treat results as suspect")
-            return
-        _log(f"relay degraded (probe {dt:.1f}s); settling...")
+            _log(f"relay still slow after {waited:.0f}s "
+                 f"(probe {dt_ms / 1000:.1f}s) — continuing; "
+                 "treat results as suspect")
+            return False
+        _log(f"relay degraded (probe {dt_ms / 1000:.1f}s); settling...")
         time.sleep(20.0)
+
+
+def _spread_pct(values) -> float:
+    vals = sorted(values)
+    return 100.0 * (vals[-1] - vals[0]) / max(vals[len(vals) // 2], 1e-9)
+
+
+def _bench_headline_adaptive(bench_fn, budget_s: float = 900.0,
+                             min_healthy: int = 3, max_runs: int = 8,
+                             target_spread_pct: float = 8.0):
+    """Adaptive median-of-N-healthy headline measurement.
+
+    Each attempt: probe -> timed run -> probe. An attempt is REJECTED
+    (recorded, not scored) when either probe is degraded or the run is
+    <50% of the best accepted run; accepting a new best retro-rejects
+    earlier runs that fall below 50% of it. Keeps attempting until
+    min_healthy accepted runs agree within target_spread_pct, or the
+    run/wall budget is exhausted. Returns (median, accepted, rejected).
+    """
+    accepted, rejected = [], []
+    t_start = time.perf_counter()
+    attempt = 0
+    while attempt < max_runs:
+        vals = [r["masks_per_sec"] for r in accepted]
+        if (len(accepted) >= min_healthy
+                and _spread_pct(vals) <= target_spread_pct):
+            break
+        if accepted and time.perf_counter() - t_start > budget_s:
+            _log("headline budget exhausted; scoring what we have")
+            break
+        attempt += 1
+        pb = _probe_ms()
+        if pb > PROBE_DEGRADED_MS:
+            _log(f"run {attempt}: pre-probe degraded ({pb / 1000:.1f}s); "
+                 "settling before retry")
+            rejected.append({"masks_per_sec": None,
+                             "probe_before_ms": round(pb, 1),
+                             "probe_after_ms": None,
+                             "reason": "pre_probe_degraded"})
+            _settle_relay(120.0)
+            continue
+        _log(f"headline run {attempt} (12-image ViT-H sweep, "
+             f"pre-probe {pb:.0f} ms)...")
+        v = bench_fn()
+        pa = _probe_ms()
+        rec = {"masks_per_sec": round(v, 1), "probe_before_ms": round(pb, 1),
+               "probe_after_ms": round(pa, 1)}
+        best = max([r["masks_per_sec"] for r in accepted], default=v)
+        if pa > PROBE_DEGRADED_MS:
+            rec["reason"] = "post_probe_degraded"
+            rejected.append(rec)
+            _log(f"run {attempt} REJECTED ({v:.1f} masks/s, post-probe "
+                 f"{pa / 1000:.1f}s degraded); settling")
+            _settle_relay(120.0)
+            continue
+        if v < 0.5 * best:
+            rec["reason"] = "below_half_best"
+            rejected.append(rec)
+            _log(f"run {attempt} REJECTED ({v:.1f} masks/s < 50% of best "
+                 f"{best:.1f}); settling")
+            _settle_relay(120.0)
+            continue
+        accepted.append(rec)
+        _log(f"run {attempt} accepted: {v:.1f} masks/s "
+             f"(post-probe {pa:.0f} ms)")
+        # a new best retro-invalidates earlier slow-window runs
+        best = max(r["masks_per_sec"] for r in accepted)
+        retro = [r for r in accepted if r["masks_per_sec"] < 0.5 * best]
+        accepted = [r for r in accepted if r["masks_per_sec"] >= 0.5 * best]
+        for r in retro:
+            r["reason"] = "retro_below_half_best"
+            rejected.append(r)
+            _log(f"retro-rejected earlier run "
+                 f"({r['masks_per_sec']:.1f} masks/s)")
+    vals = sorted(r["masks_per_sec"] for r in accepted)
+    median = vals[len(vals) // 2] if vals else 0.0
+    return median, accepted, rejected
 
 
 def main():
@@ -108,44 +222,84 @@ def main():
     extra = {}
     try:
         from ullsam_tpu.inference.amg import bench_amg_stats  # noqa: F401
-        # median of 3 independent 12-image runs: relay-state variance on
-        # single runs was ~15%; the median of three runs holds consecutive
-        # driver runs within ~5% (round-2 verdict item 5). 12 images per
-        # run measures STEADY-STATE pipeline throughput: the fixed cost
-        # (first upload + trailing collect, ~60-120 ms) amortizes — 6-image
-        # runs under-report by ~8% (measured 139.8 vs 129.5 ms/image)
-        runs = []
-        for i in range(3):
-            _log(f"headline run {i + 1}/3 (12-image ViT-H sweep)...")
-            runs.append(bench_amg_stats(variant="vit_h",
-                                        iters=12)["masks_per_sec"])
-            _log(f"headline run {i + 1}/3 done: {runs[-1]:.1f} masks/s")
-        runs.sort()
-        value = runs[1]
-        metric, unit = "amg_masks_per_sec_vith", "masks/s/chip"
+        # adaptive median-of-N-healthy, 12 images per run: 12-image runs
+        # measure STEADY-STATE pipeline throughput (6-image runs
+        # under-report ~8%: first-upload + trailing-collect amortization,
+        # measured 139.8 vs 129.5 ms/image). Run 1 also warms the
+        # persistent compilation cache (compile is outside the timed
+        # region inside bench_amg_stats).
+        def _one_run():
+            return bench_amg_stats(variant="vit_h",
+                                   iters=12)["masks_per_sec"]
+
+        value, accepted, rejected = _bench_headline_adaptive(_one_run)
+        spread = _spread_pct([r["masks_per_sec"] for r in accepted]) \
+            if accepted else 0.0
         # realistic production config (upstream defaults, SURVEY §2.13):
         # thresholds 0.88/0.95 + device NMS 0.7, run on closed-form
         # CALIBRATED synthetic weights (inference/calibrate.py) so the
         # IoU/stability filters and the NMS-survivor gather + selective
-        # upscale path operate on a realistic mask population instead of
-        # passing nothing (round-2 verdict item 4)
-        _log("realistic-config run (calibrated weights, 0.88/0.95/NMS0.7)...")
-        real = bench_amg_stats(variant="vit_h", pred_iou_thresh=0.88,
-                               stability_score_thresh=0.95,
-                               box_nms_thresh=0.7, calibrated=True)
-        _log(f"realistic done: {real['masks_per_sec']:.1f} masks/s, "
-             f"{real['images_per_sec']:.2f} img/s")
+        # upscale path operate on a realistic mask population. Probe
+        # before/after; one retry if the run looks degraded.
+        real = None
+        real_probes = []
+        for attempt in range(2):
+            rpb = _probe_ms()
+            _log(f"realistic-config run (calibrated weights, "
+                 f"0.88/0.95/NMS0.7, pre-probe {rpb:.0f} ms)...")
+            r = bench_amg_stats(variant="vit_h", pred_iou_thresh=0.88,
+                                stability_score_thresh=0.95,
+                                box_nms_thresh=0.7, calibrated=True)
+            rpa = _probe_ms()
+            real_probes.append({"probe_before_ms": round(rpb, 1),
+                                "probe_after_ms": round(rpa, 1),
+                                "masks_per_sec": round(r["masks_per_sec"],
+                                                       1)})
+            _log(f"realistic done: {r['masks_per_sec']:.1f} masks/s, "
+                 f"{r['images_per_sec']:.2f} img/s "
+                 f"(post-probe {rpa:.0f} ms)")
+            real = r
+            degraded = (rpa > PROBE_DEGRADED_MS
+                        or r["masks_per_sec"] <
+                        RELAY_SUSPECT_FRACTION
+                        * INREPO_REALISTIC_MASKS_PER_SEC)
+            if not degraded or attempt == 1:
+                break
+            _log("realistic run looks degraded; settling and retrying once")
+            _settle_relay(180.0)
+        metric, unit = "amg_masks_per_sec_vith", "masks/s/chip"
+        relay_suspect = bool(
+            value < RELAY_SUSPECT_FRACTION * INREPO_HEADLINE_MASKS_PER_SEC
+            or spread > 8.0
+            or len(accepted) < 3
+            or real["masks_per_sec"] <
+            RELAY_SUSPECT_FRACTION * INREPO_REALISTIC_MASKS_PER_SEC)
         extra = {
-            "headline_spread_pct": round(
-                100.0 * (runs[-1] - runs[0]) / max(runs[1], 1e-9), 1),
+            "headline_spread_pct": round(spread, 1),
+            "headline_runs": accepted,
+            "headline_rejected_runs": rejected,
             "realistic_config_images_per_sec":
                 round(real["images_per_sec"], 3),
             "realistic_config_masks_per_sec":
                 round(real["masks_per_sec"], 3),
             "realistic_config_committed_masks": real["committed_masks"],
+            "realistic_runs": real_probes,
+            "relay_suspect": relay_suspect,
+            "inrepo_reference": {
+                "headline_masks_per_sec": INREPO_HEADLINE_MASKS_PER_SEC,
+                "realistic_masks_per_sec": INREPO_REALISTIC_MASKS_PER_SEC,
+                "note": "healthy-relay in-repo medians (docs/BENCHMARKS"
+                        ".md); relay_suspect fires below "
+                        f"{RELAY_SUSPECT_FRACTION:.2f}x these or on "
+                        "spread>8% — a suspect run measured the relay, "
+                        "not the code",
+            },
             "vs_baseline_denominator":
                 "derived estimate (docs/BASELINE_DERIVATION.md)",
         }
+        if relay_suspect:
+            _log("RELAY SUSPECT: results far below in-repo reference or "
+                 "unstable; see headline_runs/probe telemetry in JSON")
     except ImportError:
         value = bench_point_masks()
         metric, unit = "point_prompt_masks_per_sec_vitb", "masks/s/chip"

@@ -792,18 +792,23 @@ class AutomaticMaskGenerator:
         input_hw = get_preprocess_shape(crop_size[0], crop_size[1],
                                         self.cfg.vit.img_size)
 
-        points_scale = np.array(crop_size)[None, ::-1]  # (w, h)
-        points_for_image = self.point_grids[layer_idx] * points_scale
-
         # the transformed point grid depends only on (layer, crop size) —
         # reuse one device buffer across a batch of same-size images
         # instead of re-uploading an identical tensor per image (each
-        # upload is one serialized relay transfer in the dispatch loop)
+        # upload is one serialized relay transfer in the dispatch loop).
+        # Dict cache, not single-slot: with crop_n_layers>=1 the
+        # alternating full-frame/crop sizes would evict each other every
+        # image (advisor r4). Bounded — AMG produces O(crop layers)
+        # distinct sizes per run.
         key = (layer_idx, crop_size)
-        cached = getattr(self, "_pts_cache", None)
-        if cached is not None and cached[0] == key:
-            in_pts_dev, n = cached[1], cached[2]
+        cache = getattr(self, "_pts_cache", None)
+        if cache is None or not isinstance(cache, dict):
+            cache = self._pts_cache = {}
+        if key in cache:
+            points_for_image, in_pts_dev, n = cache[key]
         else:
+            points_scale = np.array(crop_size)[None, ::-1]  # (w, h)
+            points_for_image = self.point_grids[layer_idx] * points_scale
             in_pts = self.transform.apply_coords(points_for_image, crop_size)
             n = len(in_pts)
             n_pad = -n % self.points_per_batch
@@ -811,7 +816,9 @@ class AutomaticMaskGenerator:
                 in_pts = np.concatenate([in_pts, np.zeros((n_pad, 2),
                                                           in_pts.dtype)])
             in_pts_dev = jnp.asarray(in_pts, jnp.float32)
-            self._pts_cache = (key, in_pts_dev, n)
+            if len(cache) > 16:  # safety bound; never expected in practice
+                cache.clear()
+            cache[key] = (points_for_image, in_pts_dev, n)
 
         ppb = self.points_per_batch
         max_out = min(self.max_masks or 512, n * 3)

@@ -224,7 +224,13 @@ def _layer_body(cfg: InternLM2Config, x: Array, lp: dict, cos: Array,
         # backward, which is where the 3-4 ms goes). Use "half" when
         # activation memory, not step time, is the binding constraint.
         kmask, seg = mask
-        if os.environ.get("ULLSAM_LLM_ATTN_CKPT", "inner") == "inner":
+        _ckpt = os.environ.get("ULLSAM_LLM_ATTN_CKPT", "inner")
+        if _ckpt not in ("inner", "half"):
+            raise ValueError(
+                f"ULLSAM_LLM_ATTN_CKPT={_ckpt!r}: expected 'inner' or "
+                "'half' (unrecognized values used to silently pick the "
+                "slower 'half' path — advisor r4)")
+        if _ckpt == "inner":
             h = L.rms_norm(lp["attention_norm"], x, eps=cfg.rms_norm_eps)
             qkv = L.linear(lp["wqkv"], h)
             q, k, v = _split_wqkv(qkv, cfg)
