@@ -40,3 +40,66 @@ def test_copy_isolation():
     a.append_message(a.roles[0], "x")
     b = get_conv_template("internlm2-chat")
     assert b.messages == []
+
+
+def test_all_separator_styles_match_reference_goldens():
+    """Every style x scenario from tools/make_conversation_goldens.py,
+    pinned against the reference's get_prompt output
+    (/root/reference/modeling/conversation.py:63-251)."""
+    import json
+    import pathlib
+
+    from ullsam_tpu.models.ullsam.conversation import (Conversation,
+                                                       SeparatorStyle)
+
+    gold = json.loads((pathlib.Path(__file__).parent / "goldens" /
+                       "conversation_styles.json").read_text())
+    base_roles = ("USER", "ASSISTANT")
+    chat = [["USER", "hi there"], ["ASSISTANT", "hello!"],
+            ["USER", "tell me more"], ["ASSISTANT", None]]
+    single = [["USER", "only question"], ["ASSISTANT", None]]
+    messy = [["USER", "line1\r\nline2\n\nline3"], ["ASSISTANT", None]]
+    scenarios = [
+        ("full", dict(name="t", system_template="SYS: {system_message}",
+                      system_message="be helpful", roles=base_roles,
+                      sep="\n", sep2="</s>"), chat),
+        ("nosys", dict(name="t", system_template="{system_message}",
+                       system_message="", roles=base_roles,
+                       sep="\n", sep2="</s>"), single),
+        ("messy", dict(name="t", system_template="{system_message}",
+                       system_message="sys", roles=base_roles,
+                       sep=" ", sep2="<e>"), messy),
+        ("glm2", dict(name="chatglm2", system_template="{system_message}",
+                      system_message="sys", roles=("问", "答"),
+                      sep="\n", sep2="</s>"), chat),
+    ]
+    checked = 0
+    for style in SeparatorStyle:
+        for scen_name, kw, messages in scenarios:
+            conv = Conversation(messages=[list(m) for m in messages],
+                                sep_style=style, **kw)
+            key = f"{style.name}/{scen_name}"
+            assert conv.get_prompt() == gold[key], key
+            checked += 1
+    assert checked == len(gold) == 72  # 18 styles x 4 scenarios
+
+
+def test_mpt_tuple_message_and_openai_export():
+    from ullsam_tpu.models.ullsam.conversation import (Conversation,
+                                                       SeparatorStyle)
+
+    conv = Conversation(name="t", system_message="s",
+                        roles=("u:", "a:"),
+                        sep_style=SeparatorStyle.MPT, sep="|")
+    # rich (text, image, ...) messages collapse to their text part
+    # (reference conversation.py:243-245)
+    conv.messages = [["u:", ("look", None, None)], ["a:", None]]
+    assert conv.get_prompt() == "s|u:look|a:"
+    conv2 = Conversation(name="t", system_message="sys")
+    conv2.messages = [["USER", "q1"], ["ASSISTANT", "a1"],
+                      ["USER", "q2"], ["ASSISTANT", None]]
+    msgs = conv2.to_openai_api_messages()
+    assert msgs == [{"role": "system", "content": "sys"},
+                    {"role": "user", "content": "q1"},
+                    {"role": "assistant", "content": "a1"},
+                    {"role": "user", "content": "q2"}]
