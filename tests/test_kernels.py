@@ -591,3 +591,101 @@ def test_rms_norm_and_swiglu_custom_vjp_match_autodiff():
     for a, b in zip(flat_r, flat_n):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+def test_vit_window_packed_bwd_kernel_matches_xla_vjp():
+    """Pallas window backward (interpret mode) vs the XLA-math vjp on all
+    three cotangents (dqkvp, drhf, drwf), f32 exact and bf16 within
+    rounding noise."""
+    from ullsam_tpu.ops.pallas import flash_attention as FA
+
+    nh, hd, kh, kw = 3, 64, 4, 4
+    N = kh * kw
+    B = 5
+    HP = FA._HP
+    rng = np.random.RandomState(1)
+    qkvp = np.zeros((B, N, 3 * nh * HP), np.float32)
+    for s in range(3):
+        for h in range(nh):
+            qkvp[:, :, (s * nh + h) * HP:(s * nh + h) * HP + hd] = \
+                rng.randn(B, N, hd) * 0.3
+    rhf = np.zeros((HP, kh * kh), np.float32)
+    rwf = np.zeros((HP, kw * kw), np.float32)
+    rhf[:hd] = rng.randn(hd, kh * kh) * 0.2
+    rwf[:hd] = rng.randn(hd, kw * kw) * 0.2
+    g = np.zeros((B, N, nh * HP), np.float32)
+    for h in range(nh):
+        g[:, :, h * HP:h * HP + hd] = rng.randn(B, N, hd) * 0.5
+
+    for dt, tol in ((jnp.float32, 2e-3), (jnp.bfloat16, 3e-2)):
+        args = (jnp.asarray(qkvp).astype(dt), jnp.asarray(rhf),
+                jnp.asarray(rwf))
+        gj = jnp.asarray(g).astype(dt)
+        _, vjp = jax.vjp(
+            lambda a, b, c: FA._window_packed_xla(a, b, c, nh, hd, kh, kw),
+            *args)
+        ref = vjp(gj)
+        with pltpu.force_tpu_interpret_mode():
+            got = FA._vit_window_packed_bwd_impl(*args, gj, nh, hd, kh, kw)
+        for name, a, b in zip(("dqkvp", "drhf", "drwf"), got, ref):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            err = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9)
+            assert err < tol, (name, dt, err)
+
+def test_w8a16_matmul_kernel_matches_xla():
+    """Pallas W8A16 decode matmul (interpret mode) is exact vs the XLA
+    int8 path (same convert-then-dot semantics, fused scale)."""
+    from ullsam_tpu.ops.pallas.int8_matmul import w8a16_matmul
+
+    rng = np.random.RandomState(2)
+    for M, K, N in [(8, 512, 1024), (1, 256, 384)]:
+        x = jnp.asarray(rng.randn(M, K), jnp.bfloat16)
+        qw = jnp.asarray(rng.randint(-127, 128, (K, N)), jnp.int8)
+        qs = jnp.asarray(rng.rand(N) * 0.01 + 0.001, jnp.float32)
+        ref = (jnp.dot(x, qw.astype(x.dtype),
+                       preferred_element_type=jnp.float32) * qs)
+        bn = next(b for b in (512, 256, 128) if N % b == 0)
+        with pltpu.force_tpu_interpret_mode():
+            got = w8a16_matmul(x, qw, qs, block_n=bn)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+def test_vit_global_packed_attention_matches_xla():
+    """Packed-global flash path (interpret mode) vs the XLA bias path:
+    forward and every parameter gradient (exercises the packed custom
+    vjp: unpack + fused flash backward + repack)."""
+    from ullsam_tpu.core.config import ViTConfig
+    from ullsam_tpu.models.sam import image_encoder as IE
+
+    cfg = ViTConfig(img_size=512, patch_size=16, embed_dim=128, depth=1,
+                    num_heads=2, window_size=0, global_attn_indexes=(0,))
+    H = W = 32  # N=1024: one default-size kernel block
+    rng = np.random.RandomState(0)
+    params = IE._attn_init(jax.random.PRNGKey(0), cfg, (H, W))
+    params = jax.tree.map(
+        lambda a: jnp.asarray(rng.randn(*a.shape) * 0.05, jnp.float32),
+        params)
+    x = jnp.asarray(rng.randn(1, H, W, cfg.embed_dim) * 0.2, jnp.float32)
+
+    ref = IE._vit_attention(params, x, cfg, allow_window_kernel=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = IE._vit_attention_global_packed(params, x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+    def loss_packed(p, xx):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(IE._vit_attention_global_packed(p, xx, cfg) ** 2)
+
+    def loss_ref(p, xx):
+        return jnp.sum(IE._vit_attention(p, xx, cfg,
+                                         allow_window_kernel=False) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_packed)(params, x)
+    g2 = jax.grad(loss_ref)(params, x)
+    g2map = dict(jax.tree_util.tree_leaves_with_path(g2))
+    for path, a in jax.tree_util.tree_leaves_with_path(g1):
+        b = g2map[path]
+        err = (np.max(np.abs(np.asarray(a) - np.asarray(b)))
+               / (np.max(np.abs(np.asarray(b))) + 1e-9))
+        assert err < 5e-3, (path, err)

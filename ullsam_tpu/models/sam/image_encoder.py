@@ -12,6 +12,7 @@ Output: [B, grid, grid, out_chans]  (NHWC; reference returns NCHW)
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -154,30 +155,71 @@ def _vit_attention_window_packed(params: dict, x: Array,
     logits chain cost ~1 ms/layer of relayout copies on ViT-H.
     """
     from ullsam_tpu.ops.pallas.flash_attention import (
-        _HP, vit_window_attention_packed)
+        vit_window_attention_packed)
     B, H, W, C = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
-    wq = params["qkv"]["kernel"].astype(x.dtype)            # [C, 3C]
+    qkvp = _qkv_packed(params, x.reshape(B, H * W, C), nh, hd)
+    rhf, rwf = _rel_tables_packed(params, H, W, hd, x.dtype)
+    out = vit_window_attention_packed(qkvp, rhf, rwf, nh, hd, H, W)
+    return _proj_packed(params, out, nh, hd, C).reshape(B, H, W, C)
+
+
+def _qkv_packed(params: dict, x2: Array, nh: int, hd: int) -> Array:
+    """qkv projection emitted head-major with hd padded to 128 lanes:
+    [B, N, C] -> [B, N, 3*nh*128] (weight-side pad/reshape, so per-head
+    q/k/v are aligned lane slices inside the Pallas kernels)."""
+    from ullsam_tpu.ops.pallas.flash_attention import _HP
+    C = x2.shape[-1]
+    wq = params["qkv"]["kernel"].astype(x2.dtype)           # [C, 3C]
     wp = jnp.pad(wq.reshape(C, 3, nh, hd),
                  ((0, 0), (0, 0), (0, 0), (0, _HP - hd)))
-    qkvp = jnp.dot(x.reshape(B, H * W, C), wp.reshape(C, 3 * nh * _HP),
+    qkvp = jnp.dot(x2, wp.reshape(C, 3 * nh * _HP),
                    preferred_element_type=jnp.float32)
     if "bias" in params["qkv"]:
         bb = params["qkv"]["bias"].astype(jnp.float32)
         qkvp = qkvp + jnp.pad(bb.reshape(3, nh, hd),
                               ((0, 0), (0, 0), (0, _HP - hd))).reshape(-1)
-    qkvp = qkvp.astype(x.dtype)
+    return qkvp.astype(x2.dtype)
 
-    rhf, rwf = _rel_tables_packed(params, H, W, hd, x.dtype)
-    out = vit_window_attention_packed(qkvp, rhf, rwf, nh, hd, H, W)
 
-    wo = params["proj"]["kernel"].astype(x.dtype)           # [nh*hd, C]
+def _proj_packed(params: dict, out: Array, nh: int, hd: int,
+                 C: int) -> Array:
+    """Output projection consuming the padded head-major layout directly
+    (zero pad rows in the weight absorb the pad lanes)."""
+    from ullsam_tpu.ops.pallas.flash_attention import _HP
+    wo = params["proj"]["kernel"].astype(out.dtype)         # [nh*hd, C]
     wop = jnp.pad(wo.reshape(nh, hd, C),
                   ((0, 0), (0, _HP - hd), (0, 0))).reshape(nh * _HP, C)
     y = jnp.dot(out, wop, preferred_element_type=jnp.float32)
     if "bias" in params["proj"]:
         y = y + params["proj"]["bias"].astype(jnp.float32)
-    return y.astype(x.dtype).reshape(B, H, W, C)  # match L.linear's cast
+    return y.astype(out.dtype)  # match L.linear's cast
+
+
+def _vit_attention_global_packed(params: dict, x: Array,
+                                 cfg: ViTConfig) -> Array:
+    """Global attention with the packed head-major layout end to end.
+
+    Kills the [B, N, 3, nh, hd] qkv head-split and the output
+    merge-transpose around the global flash kernel: heads ride the
+    Pallas grid as 128-lane slices of one packed projection
+    (ops/pallas/flash_attention._vit_kernel_packed). Only q is unpacked
+    — the rel-pos factor dots are per-head (image_encoder.py:325-361)
+    and consume [B*nh, N, 128] with zero-padded tables."""
+    from ullsam_tpu.ops.pallas.flash_attention import (
+        _HP, vit_flash_attention_packed)
+    B, H, W, C = x.shape
+    N = H * W
+    nh, hd = cfg.num_heads, cfg.head_dim
+    qkvp = _qkv_packed(params, x.reshape(B, N, C), nh, hd)
+    qh = qkvp[..., :nh * _HP].reshape(B, N, nh, _HP)
+    qh = qh.transpose(0, 2, 1, 3).reshape(B * nh, N, _HP)
+    rel_h, rel_w = A.decomposed_rel_pos_terms(
+        qh, params["rel_pos_h"], params["rel_pos_w"], (H, W), (H, W))
+    rel_h = rel_h.reshape(B * nh, N, H)
+    rel_w = rel_w.reshape(B * nh, N, W)
+    out = vit_flash_attention_packed(qkvp, rel_h, rel_w, nh, hd)
+    return _proj_packed(params, out, nh, hd, C).reshape(B, H, W, C)
 
 
 def _vit_attention(params: dict, x: Array, cfg: ViTConfig,
@@ -195,6 +237,11 @@ def _vit_attention(params: dict, x: Array, cfg: ViTConfig,
     if (allow_window_kernel and cfg.use_rel_pos and H == W and hd <= 128
             and _use_window_kernel(cfg, H, W)):
         return _vit_attention_window_packed(params, x, cfg)
+    if (allow_window_kernel and cfg.use_rel_pos and hd <= 128
+            and _use_flash(cfg, H * W) and H * W % 1024 == 0
+            and 1024 % W == 0
+            and os.environ.get("ULLSAM_PACKED_GLOBAL", "1") != "0"):
+        return _vit_attention_global_packed(params, x, cfg)
     qkv = L.linear(params["qkv"], x)  # [B,H,W,3C]
     qkv = qkv.reshape(B, H * W, 3, nh, hd)
     qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * nh, H * W, hd)

@@ -87,6 +87,13 @@ def decomposed_rel_pos_terms(q: Array, rel_pos_h: Array, rel_pos_w: Array,
     k_h, k_w = k_size
     Rh = get_rel_pos(q_h, k_h, rel_pos_h).astype(q.dtype)  # [qh, kh, D]
     Rw = get_rel_pos(q_w, k_w, rel_pos_w).astype(q.dtype)  # [qw, kw, D]
+    if q.shape[-1] > Rh.shape[-1]:
+        # packed-layout q: hd channels left-aligned in a wider (128-lane)
+        # slot with zero pads — pad the tables to match; the pad lanes
+        # contribute exactly zero to the contraction
+        pad = q.shape[-1] - Rh.shape[-1]
+        Rh = jnp.pad(Rh, ((0, 0), (0, 0), (0, pad)))
+        Rw = jnp.pad(Rw, ((0, 0), (0, 0), (0, pad)))
     B = q.shape[0]
     r_q = q.reshape(B, q_h, q_w, -1)
     # einsum('bhwc,hkc->bhwk') as written lowers to B*qh tiny [qw, c] @

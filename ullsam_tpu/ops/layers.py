@@ -55,9 +55,22 @@ def linear(params: dict, x: Array, *, dtype=None) -> Array:
         # the HBM read at 1 byte/weight) and the per-output-channel scale
         # applies on the f32 accumulator — exact w.r.t. the quantized
         # weights. See models/internlm2/quant.py.
-        y = jnp.dot(x, params["qweight"].astype(x.dtype),
-                    preferred_element_type=jnp.float32)
-        y = y * params["qscale"].astype(jnp.float32)
+        # ULLSAM_INT8_PALLAS=1 (trace-time) routes eligible dots through
+        # the explicit Pallas W8A16 kernel (ops/pallas/int8_matmul.py):
+        # guaranteed single int8 HBM read + fused scale epilogue.
+        qw = params["qweight"]
+        if (_os.environ.get("ULLSAM_INT8_PALLAS", "0") == "1"
+                and qw.ndim == 2 and qw.shape[1] % 128 == 0):
+            from ullsam_tpu.ops.pallas.int8_matmul import w8a16_matmul
+            N = qw.shape[1]
+            bn = next(b for b in (512, 256, 128) if N % b == 0)
+            xf = x.reshape(-1, x.shape[-1])
+            y = w8a16_matmul(xf, qw, params["qscale"], block_n=bn)
+            y = y.reshape(x.shape[:-1] + (N,))
+        else:
+            y = jnp.dot(x, qw.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+            y = y * params["qscale"].astype(jnp.float32)
         if "bias" in params:
             y = y + params["bias"].astype(jnp.float32)
         return y.astype(x.dtype)
@@ -288,8 +301,15 @@ def _swiglu(w1: Array, w3: Array, w2: Array, x: Array) -> Array:
 # layer (no recompute in the backward); "x" saves only the input and
 # re-projects a/b in the backward (two extra hidden-width dots, ~0.37 ms
 # per flagship LLM layer, in exchange for dropping ~36 MB/layer of scan
-# residual stacking). A/B via ULLSAM_SWIGLU_SAVE=x.
-_SWIGLU_SAVE = _os.environ.get("ULLSAM_SWIGLU_SAVE", "ab")
+# residual stacking). A/B via ULLSAM_SWIGLU_SAVE=x (read at TRACE time,
+# like the attn-ckpt knob, so setting it after import still takes effect
+# — advisor r4).
+def _swiglu_save_mode() -> str:
+    mode = _os.environ.get("ULLSAM_SWIGLU_SAVE", "ab")
+    if mode not in ("ab", "x"):
+        raise ValueError(
+            f"ULLSAM_SWIGLU_SAVE={mode!r}: expected 'ab' or 'x'")
+    return mode
 
 
 def _swiglu_fwd(w1, w3, w2, x):
@@ -304,7 +324,7 @@ def _swiglu_fwd(w1, w3, w2, x):
     # silu(a), the gate product, and fp32 sigmoid intermediates per scan
     # layer ([L, B, S, 4H] each on the flagship LLM); silu and its
     # derivative are cheap VPU recomputes.
-    if _SWIGLU_SAVE == "x":
+    if _swiglu_save_mode() == "x":
         return y, (w1, w3, w2, x, None, None)
     return y, (w1, w3, w2, x, a, b)
 

@@ -182,6 +182,173 @@ def vit_flash_attention(q: Array, k: Array, v: Array, rel_h: Array,
     return _vit_flash_impl(q, k, v, rel_h, rel_w, block_q, block_k)[0]
 
 
+# ---------------------------------------------------------------------------
+# ViT GLOBAL attention on the PACKED head-major layout
+# ---------------------------------------------------------------------------
+#
+# Same online-softmax flash as _vit_kernel, but q/k/v arrive as 128-lane
+# head slices of the packed qkv projection ([B, N, 3*nh*128], the window
+# kernel's layout) and the head axis rides the GRID: no [B, N, 3, nh, hd]
+# head-split transpose, no output merge-transpose — the relayout copies
+# that cost ~1 ms/layer on the windowed path before it was packed
+# (image_encoder.py:144-180). The rel-pos bias still arrives factored
+# per (head, token) as rhw = [rel_h | rel_w].
+
+
+def _vit_kernel_packed(q_ref, k_ref, v_ref, rhw_ref, o_ref, lse_ref,
+                       m_scr, l_scr, acc_scr, *, kh: int, kw: int,
+                       block_k: int, scale: float):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = (q_ref[0] * scale).astype(q_ref.dtype)   # scale applied in-kernel
+    k = k_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    rows_per_tile = block_k // kw
+    rhw = rhw_ref[0]
+    hsel_rows = jax.lax.broadcasted_iota(jnp.int32, (kh + kw, block_k), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (kh + kw, block_k), 1)
+    h_onehot = hsel_rows == (ik * rows_per_tile + kj // kw)
+    w_onehot = hsel_rows == (kh + kj % kw)
+    logits = logits + _bias_select(rhw, h_onehot | w_onehot, q_ref.dtype)
+
+    m_prev = m_scr[:, 0:1]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(logits - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_scr[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / l_scr[:, 0:1]).astype(o_ref.dtype)
+        lse = m_scr[:, 0:1] + jnp.log(l_scr[:, 0:1])
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _vit_flash_packed_impl(qkvp: Array, rel_h: Array, rel_w: Array,
+                           nh: int, hd: int, block_q: int, block_k: int):
+    """qkvp [B, N, 3*nh*128] packed; rel_h/rel_w [B*nh, N, KH/KW].
+
+    Returns (out [B, N, nh*128] head-major padded, lse [B*nh, N, 8])."""
+    B, N, _ = qkvp.shape
+    KH = rel_h.shape[-1]
+    KW = rel_w.shape[-1]
+    assert KH * KW == N, (KH, KW, N)
+    assert N % block_q == 0 and N % block_k == 0
+    assert block_k % KW == 0
+    rel_dtype = jnp.float32 if qkvp.dtype == jnp.float32 else qkvp.dtype
+    rhw = jnp.concatenate([rel_h, rel_w], axis=-1).astype(rel_dtype)
+
+    kernel = functools.partial(_vit_kernel_packed, kh=KH, kw=KW,
+                               block_k=block_k, scale=hd ** -0.5)
+    HP = _HP
+    return pl.pallas_call(
+        kernel,
+        grid=(B * nh, N // block_q, N // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, HP),
+                         lambda bh, iq, ik: (bh // nh, iq, bh % nh)),
+            pl.BlockSpec((1, block_k, HP),
+                         lambda bh, iq, ik: (bh // nh, ik, nh + bh % nh)),
+            pl.BlockSpec((1, block_k, HP),
+                         lambda bh, iq, ik: (bh // nh, ik, 2 * nh + bh % nh)),
+            pl.BlockSpec((1, block_q, KH + KW),
+                         lambda bh, iq, ik: (bh, iq, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, HP),
+                         lambda bh, iq, ik: (bh // nh, iq, bh % nh)),
+            pl.BlockSpec((1, block_q, 8), lambda bh, iq, ik: (bh, iq, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, nh * HP), qkvp.dtype),
+            jax.ShapeDtypeStruct((B * nh, N, 8), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, _HP), jnp.float32),
+        ],
+    )(qkvp, qkvp, qkvp, rhw)
+
+
+def _unpack_heads(a: Array, nh: int) -> Array:
+    """[B, N, nh*HP] head-major padded -> [B*nh, N, HP]."""
+    B, N, _ = a.shape
+    return a.reshape(B, N, nh, _HP).transpose(0, 2, 1, 3).reshape(
+        B * nh, N, _HP)
+
+
+def _pack_heads(a: Array, B: int, nh: int) -> Array:
+    """[B*nh, N, HP] -> [B, N, nh*HP]."""
+    _, N, HP = a.shape
+    return a.reshape(B, nh, N, HP).transpose(0, 2, 1, 3).reshape(
+        B, N, nh * HP)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def vit_flash_attention_packed(qkvp: Array, rel_h: Array, rel_w: Array,
+                               nh: int, hd: int, block_q: int = 1024,
+                               block_k: int = 1024) -> Array:
+    """Global flash attention over the packed head-major qkv layout.
+
+    qkvp: [B, N, 3*nh*128] (q|k|v sections, per-head hd channels
+    left-aligned in a 128-lane slot, pad lanes zero).
+    rel_h/rel_w: [B*nh, N, KH]/[B*nh, N, KW] factored rel-pos bias.
+    Returns [B, N, nh*128] head-major padded (pad lanes zero).
+    """
+    return _vit_flash_packed_impl(qkvp, rel_h, rel_w, nh, hd,
+                                  block_q, block_k)[0]
+
+
+def _vit_flash_packed_fwd(qkvp, rel_h, rel_w, nh, hd, block_q, block_k):
+    out, lse = _vit_flash_packed_impl(qkvp, rel_h, rel_w, nh, hd,
+                                      block_q, block_k)
+    return out, (qkvp, rel_h, rel_w, out, lse)
+
+
+def _vit_flash_packed_bwd(nh, hd, block_q, block_k, res, g):
+    """Unpack to the per-head layout and reuse the fused flash backward.
+
+    The unpack/repack transposes only exist in the BACKWARD (training);
+    the inference encode path that motivates the packed forward never
+    runs them."""
+    qkvp, rel_h, rel_w, out, lse = res
+    B, N, _ = qkvp.shape
+    qkv = qkvp.reshape(B, N, 3, nh * _HP)
+    q = _unpack_heads(qkv[:, :, 0], nh)
+    k = _unpack_heads(qkv[:, :, 1], nh)
+    v = _unpack_heads(qkv[:, :, 2], nh)
+    do = _unpack_heads(g, nh)
+    o = _unpack_heads(out, nh)
+    bq, bk = min(block_q, 512), min(block_k, 512)
+    dq, dk, dv, drel_h, drel_w = _vit_flash_bwd_impl(
+        q, k, v, rel_h, rel_w, o, lse, do, bq, bk, scale=hd ** -0.5)
+    dqkvp = jnp.stack([_pack_heads(dq, B, nh), _pack_heads(dk, B, nh),
+                       _pack_heads(dv, B, nh)], axis=2).reshape(
+        B, N, 3 * nh * _HP)
+    return dqkvp, drel_h, drel_w
+
+
+vit_flash_attention_packed.defvjp(_vit_flash_packed_fwd,
+                                  _vit_flash_packed_bwd)
+
+
 def _vit_flash_fwd(q, k, v, rel_h, rel_w, block_q, block_k):
     out, lse = _vit_flash_impl(q, k, v, rel_h, rel_w, block_q, block_k)
     return out, (q, k, v, rel_h, rel_w, out, lse)
@@ -204,8 +371,11 @@ def _vit_flash_bwd(block_q, block_k, res, g):
     if USE_FUSED_BWD:
         # the backward keeps more tiles resident (q/k/v/do/out + two f32
         # accumulators); 1024-blocks (the FORWARD's fastest size) push its
-        # scoped VMEM past the 16 MB stack limit — cap the bwd at 512
-        bq, bk = min(block_q, 512), min(block_k, 512)
+        # scoped VMEM past the 16 MB default — ULLSAM_VIT_BWD_BLOCK
+        # selects the tile (raised vmem_limit_bytes covers the larger
+        # sizes); 512 remains the measured default
+        bb = int(_os.environ.get("ULLSAM_VIT_BWD_BLOCK", "512"))
+        bq, bk = min(block_q, bb), min(block_k, bb)
         return _vit_flash_bwd_impl(q, k, v, rel_h, rel_w, out, lse, g,
                                    bq, bk)
     _, vjp = jax.vjp(_vit_attention_xla, q, k, v, rel_h, rel_w)
@@ -734,12 +904,20 @@ def _vit_bwd_dkv_kernel(q_ref, k_ref, v_ref, rhw_ref, do_ref, lse_ref,
 
 
 def _vit_flash_bwd_impl(q, k, v, rel_h, rel_w, out, lse, g,
-                        block_q: int, block_k: int):
-    """Fused flash backward: O(N) memory, no materialized bias."""
+                        block_q: int, block_k: int, scale=None):
+    """Fused flash backward: O(N) memory, no materialized bias.
+
+    scale defaults to D**-0.5; the packed-global path passes hd**-0.5
+    explicitly because its lane dim D=128 exceeds the real head dim."""
     B, N, D = q.shape
     KH = rel_h.shape[-1]
     KW = rel_w.shape[-1]
-    scale = D ** -0.5
+    if scale is None:
+        scale = D ** -0.5
+    # blocks > 512 need more than the 16 MB default scoped VMEM
+    _cp = (dict(compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024))
+        if max(block_q, block_k) > 512 else {})
     rel_hw = jnp.concatenate([rel_h, rel_w], axis=-1).astype(jnp.float32)
     dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
                  axis=-1)
@@ -773,6 +951,7 @@ def _vit_flash_bwd_impl(q, k, v, rel_h, rel_w, out, lse, g,
             pltpu.VMEM((block_q, D), jnp.float32),
             pltpu.VMEM((block_q, KH + KW), jnp.float32),
         ],
+        **_cp,
     )(q, k, v, rel_hw, g, lse, dd)
 
     kern_kv = functools.partial(_vit_bwd_dkv_kernel, kh=KH, kw=KW,
@@ -802,6 +981,7 @@ def _vit_flash_bwd_impl(q, k, v, rel_h, rel_w, out, lse, g,
             pltpu.VMEM((block_k, D), jnp.float32),
             pltpu.VMEM((block_k, D), jnp.float32),
         ],
+        **_cp,
     )(q, k, v, rel_hw, g, lse, dd)
 
     drel_h = drhw[..., :KH].astype(rel_h.dtype)
@@ -945,6 +1125,123 @@ def vit_window_attention_packed(qkvp: Array, rhf: Array, rwf: Array,
     )(qkvp, rhf.astype(qkvp.dtype), rwf.astype(qkvp.dtype))
 
 
+def _vit_window_bwd_kernel(qkvp_ref, rhf_ref, rwf_ref, g_ref,
+                           dqkvp_ref, drhf_ref, drwf_ref,
+                           *, kh: int, kw: int, nh: int, scale: float):
+    """Whole-window attention backward: one grid program per window.
+
+    Recomputes the forward softmax (cheaper than stashing [N, N] probs
+    per window per head), then runs the five grad matmuls per head on
+    the same packed lane-aligned layout as the forward. The rel-pos
+    table grads accumulate across the sequential window grid directly in
+    the resident output block (constant index map)."""
+    b = pl.program_id(0)
+    n = kh * kw
+    f32 = jnp.float32
+    # selection masks identical to the forward kernel's
+    MH = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // kw
+          == jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // kw)
+    MW = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // kw
+          == jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) % kw)
+    T = (jax.lax.broadcasted_iota(jnp.int32, (n, kw), 0) % kw
+         == jax.lax.broadcasted_iota(jnp.int32, (n, kw), 1)).astype(f32)
+    SH = (jax.lax.broadcasted_iota(jnp.int32, (kh, n), 1) // kw
+          == jax.lax.broadcasted_iota(jnp.int32, (kh, n), 0)).astype(f32)
+    SW = (jax.lax.broadcasted_iota(jnp.int32, (kw, n), 1) % kw
+          == jax.lax.broadcasted_iota(jnp.int32, (kw, n), 0)).astype(f32)
+
+    @pl.when(b == 0)
+    def _init():
+        drhf_ref[:] = jnp.zeros_like(drhf_ref)
+        drwf_ref[:] = jnp.zeros_like(drwf_ref)
+
+    HP = _HP
+    qkvp = qkvp_ref[0]                          # [N, 3*nh*HP]
+    g = g_ref[0]                                # [N, nh*HP]
+    cdt = qkvp.dtype
+
+    def dot(a, bb, dims):
+        return jax.lax.dot_general(a, bb, (dims, ((), ())),
+                                   preferred_element_type=f32)
+
+    for h in range(nh):
+        q = qkvp[:, h * HP:(h + 1) * HP]
+        k = qkvp[:, (nh + h) * HP:(nh + h + 1) * HP]
+        v = qkvp[:, (2 * nh + h) * HP:(2 * nh + h + 1) * HP]
+        # -- forward recompute (mirrors _vit_window_kernel) --
+        gh = dot(q, rhf_ref[:], ((1,), (0,)))
+        rel_h = dot(jnp.where(MH, gh, 0.0), T, ((1,), (0,)))    # [N, kh]
+        gw = dot(q, rwf_ref[:], ((1,), (0,)))
+        rel_w = dot(jnp.where(MW, gw, 0.0), T, ((1,), (0,)))    # [N, kw]
+        bias = (dot(rel_h, SH, ((1,), (0,)))
+                + dot(rel_w, SW, ((1,), (0,))))
+        logits = dot(q, k, ((1,), (1,))) * scale + bias
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)              # [N, N] f32
+        # -- grads --
+        do = g[:, h * HP:(h + 1) * HP].astype(cdt)              # [N, HP]
+        p_c = p.astype(cdt)
+        dv = dot(p_c, do, ((0,), (0,)))                         # [N, HP]
+        dp = dot(do, v, ((1,), (1,)))                           # [N, N]
+        dd = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - dd)
+        ds_c = ds.astype(cdt)
+        # bias path: bias = rel_h@SH + rel_w@SW
+        drel_h = dot(ds_c, SH.astype(cdt), ((1,), (1,)))        # [N, kh]
+        drel_w = dot(ds_c, SW.astype(cdt), ((1,), (1,)))        # [N, kw]
+        dgh = jnp.where(MH, dot(drel_h.astype(cdt), T.astype(cdt),
+                                ((1,), (1,))), 0.0)             # [N, N]
+        dgw = jnp.where(MW, dot(drel_w.astype(cdt), T.astype(cdt),
+                                ((1,), (1,))), 0.0)
+        dgh_c = dgh.astype(cdt)
+        dgw_c = dgw.astype(cdt)
+        dq = (dot(ds_c, k, ((1,), (0,))) * scale
+              + dot(dgh_c, rhf_ref[:], ((1,), (1,)))
+              + dot(dgw_c, rwf_ref[:], ((1,), (1,))))
+        dk = dot(ds_c, q, ((0,), (0,))) * scale
+        dqkvp_ref[0, :, h * HP:(h + 1) * HP] = dq.astype(dqkvp_ref.dtype)
+        dqkvp_ref[0, :, (nh + h) * HP:(nh + h + 1) * HP] = \
+            dk.astype(dqkvp_ref.dtype)
+        dqkvp_ref[0, :, (2 * nh + h) * HP:(2 * nh + h + 1) * HP] = \
+            dv.astype(dqkvp_ref.dtype)
+        drhf_ref[:] += dot(q, dgh_c, ((0,), (0,)))              # [HP, N]
+        drwf_ref[:] += dot(q, dgw_c, ((0,), (0,)))
+
+
+def _vit_window_packed_bwd_impl(qkvp, rhf, rwf, g, nh, hd, kh, kw,
+                                interpret: bool = False):
+    B, N, _ = qkvp.shape
+    kernel = functools.partial(_vit_window_bwd_kernel, kh=kh, kw=kw,
+                               nh=nh, scale=hd ** -0.5)
+    dqkvp, drhf, drwf = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, 3 * nh * _HP), lambda w: (w, 0, 0)),
+            pl.BlockSpec((_HP, kh * kh), lambda w: (0, 0)),
+            pl.BlockSpec((_HP, kw * kw), lambda w: (0, 0)),
+            pl.BlockSpec((1, N, nh * _HP), lambda w: (w, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, N, 3 * nh * _HP), lambda w: (w, 0, 0)),
+            pl.BlockSpec((_HP, kh * kh), lambda w: (0, 0)),
+            pl.BlockSpec((_HP, kw * kw), lambda w: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
+            jax.ShapeDtypeStruct((_HP, kh * kh), jnp.float32),
+            jax.ShapeDtypeStruct((_HP, kw * kw), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qkvp, rhf.astype(qkvp.dtype), rwf.astype(qkvp.dtype), g)
+    return dqkvp, drhf.astype(rhf.dtype), drwf.astype(rwf.dtype)
+
+
+# Pallas window backward default ON (A/B measured in docs/BENCHMARKS.md);
+# ULLSAM_FUSED_WINDOW_BWD=0 falls back to the XLA-math vjp.
+
+
 def _vit_window_packed_fwd(qkvp, rhf, rwf, nh, hd, kh, kw):
     return (vit_window_attention_packed(qkvp, rhf, rwf, nh, hd, kh, kw),
             (qkvp, rhf, rwf))
@@ -952,6 +1249,9 @@ def _vit_window_packed_fwd(qkvp, rhf, rwf, nh, hd, kh, kw):
 
 def _vit_window_packed_bwd(nh, hd, kh, kw, res, g):
     qkvp, rhf, rwf = res
+    if _os.environ.get("ULLSAM_FUSED_WINDOW_BWD", "1") != "0":
+        return _vit_window_packed_bwd_impl(qkvp, rhf, rwf, g,
+                                           nh, hd, kh, kw)
     _, vjp = jax.vjp(
         lambda a, b, c: _window_packed_xla(a, b, c, nh, hd, kh, kw),
         qkvp, rhf, rwf)
