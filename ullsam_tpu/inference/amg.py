@@ -1138,6 +1138,17 @@ class AutomaticMaskGenerator:
             handles.append((self._process_crop(image, crop_box, 0,
                                                orig_size, defer=True),
                             orig_size))
+            # start the packed-stats device->host copy as soon as the
+            # sweep is dispatched: the transfer then rides the relay
+            # behind the NEXT image's upload instead of being requested
+            # lazily at collect time (round-4 verdict item 6 —
+            # double-buffer the stats transfer against the next sweep)
+            out = handles[-1][0][0]
+            if "stats_packed" in out:
+                try:
+                    out["stats_packed"].copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass  # non-jax array (tests) or backend w/o async copy
         results = []
         for handle, orig_size in handles:
             cd, masks_dev, _ = self._collect_crop(*handle)
