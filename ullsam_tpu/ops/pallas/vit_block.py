@@ -352,6 +352,32 @@ def _window_attn_fwd(x, lns, lnb, qkvw, bqkv, wo, bo, rhf, rwf,
     return out, (x, lns, lnb, qkvw, bqkv, wo, bo, rhf, rwf)
 
 
+def _window_attn_hybrid(x, lns, lnb, qkvw, bqkv, wo, bo, rhf, rwf, mask,
+                        nh, hd, kh, kw, eps):
+    """Same chain as _window_attn_xla but with the attention core routed
+    through vit_window_attention_packed, whose custom vjp is the Pallas
+    window BACKWARD kernel — so differentiating this function runs the
+    fused backward for the attention while LN/qkv/proj grads stay XLA."""
+    from ullsam_tpu.ops.pallas.flash_attention import (
+        vit_window_attention_packed)
+    f32 = jnp.float32
+    x32 = x.astype(f32)
+    m1 = jnp.mean(x32, axis=-1, keepdims=True)
+    m2 = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+    y = ((x32 - m1) * jax.lax.rsqrt(var + eps) * lns.astype(f32)
+         + lnb.astype(f32))
+    if mask is not None:
+        y = y * mask
+    y = y.astype(x.dtype)
+    qkvp = (jnp.einsum("bnc,ck->bnk", y, qkvw,
+                       preferred_element_type=f32) + bqkv).astype(x.dtype)
+    out = vit_window_attention_packed(qkvp, rhf, rwf, nh, hd, kh, kw)
+    proj = jnp.einsum("bnk,kc->bnc", out, wo,
+                      preferred_element_type=f32) + bo
+    return (x32 + proj).astype(x.dtype)
+
+
 def _window_attn_bwd(P, nh, hd, kh, kw, eps, nwx, nwy, Hv, Wv, masked,
                      res, g):
     x, lns, lnb, qkvw, bqkv, wo, bo, rhf, rwf = res
@@ -364,8 +390,14 @@ def _window_attn_bwd(P, nh, hd, kh, kw, eps, nwx, nwy, Hv, Wv, masked,
         col_img = (w % nwx) * kw + t % kw
         mask = ((row_img < Hv) & (col_img < Wv)
                 ).astype(jnp.float32)[..., None]
+    # ULLSAM_FUSED_WINDOW_BWD (trace-time, default on): attention-core
+    # grads via the Pallas window backward kernel; =0 keeps the full
+    # XLA-math vjp
+    chain = (_window_attn_hybrid
+             if os.environ.get("ULLSAM_FUSED_WINDOW_BWD", "1") != "0"
+             else _window_attn_xla)
     _, vjp = jax.vjp(
-        lambda *a: _window_attn_xla(*a, mask, nh, hd, kh, kw, eps),
+        lambda *a: chain(*a, mask, nh, hd, kh, kw, eps),
         x, lns, lnb, qkvw, bqkv, wo, bo, rhf, rwf)
     return vjp(g)
 
