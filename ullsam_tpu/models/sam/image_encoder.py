@@ -240,7 +240,12 @@ def _vit_attention(params: dict, x: Array, cfg: ViTConfig,
     if (allow_window_kernel and cfg.use_rel_pos and hd <= 128
             and _use_flash(cfg, H * W) and H * W % 1024 == 0
             and 1024 % W == 0
-            and os.environ.get("ULLSAM_PACKED_GLOBAL", "1") != "0"):
+            and os.environ.get("ULLSAM_PACKED_GLOBAL", "0") == "1"):
+        # MEASURED DEAD END (round 5, default OFF): packed layout for the
+        # 4 global layers was encode-neutral-to-worse (64.50 vs 63.96 ms
+        # ViT-H) and train-step-worse (127.1 vs 125.3 ms) — the head-split
+        # relayouts it removes were not a measurable cost at global-layer
+        # counts. Kept opt-in for re-evaluation on deeper global stacks.
         return _vit_attention_global_packed(params, x, cfg)
     qkv = L.linear(params["qkv"], x)  # [B,H,W,3C]
     qkv = qkv.reshape(B, H * W, 3, nh, hd)

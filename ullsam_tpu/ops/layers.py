@@ -58,6 +58,11 @@ def linear(params: dict, x: Array, *, dtype=None) -> Array:
         # ULLSAM_INT8_PALLAS=1 (trace-time) routes eligible dots through
         # the explicit Pallas W8A16 kernel (ops/pallas/int8_matmul.py):
         # guaranteed single int8 HBM read + fused scale epilogue.
+        # MEASURED DEAD END as the decode default (round 5): in the real
+        # b8 scan decode loop the Pallas route was SLOWER (int8 window
+        # chunk 1541 -> 1296 tok/s) — XLA already streams the int8
+        # weights once and fuses the dequant; the kernel only pays off
+        # in isolation on w2-shaped dots. Stays opt-in.
         qw = params["qweight"]
         if (_os.environ.get("ULLSAM_INT8_PALLAS", "0") == "1"
                 and qw.ndim == 2 and qw.shape[1] % 128 == 0):
