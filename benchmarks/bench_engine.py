@@ -57,7 +57,10 @@ def main():
     pv = img if args.image else None
 
     # warmup: compile prefill bucket + decode chunk variants
-    eng.caption(pv, "Describe the image.", max_new_tokens=args.new)
+    # warmup timeout covers cold-cache compile of every chunk variant
+    # (relay compiles measured up to ~900 s on a bad day)
+    eng.caption(pv, "Describe the image.", max_new_tokens=args.new,
+                timeout=1800.0)
     eng.phase_stats.clear()
 
     results = [None] * args.n

@@ -373,8 +373,10 @@ def _vit_flash_bwd(block_q, block_k, res, g):
         # accumulators); 1024-blocks (the FORWARD's fastest size) push its
         # scoped VMEM past the 16 MB default — ULLSAM_VIT_BWD_BLOCK
         # selects the tile (raised vmem_limit_bytes covers the larger
-        # sizes); 512 remains the measured default
-        bb = int(_os.environ.get("ULLSAM_VIT_BWD_BLOCK", "512"))
+        # sizes). 1024 is the measured default (round 5): flagship train
+        # step 123.8 vs 125.5 ms at 512, back-to-back A/B (first pair
+        # 122.8 vs 125.3 in a separate session).
+        bb = int(_os.environ.get("ULLSAM_VIT_BWD_BLOCK", "1024"))
         bq, bk = min(block_q, bb), min(block_k, bb)
         return _vit_flash_bwd_impl(q, k, v, rel_h, rel_w, out, lse, g,
                                    bq, bk)

@@ -520,11 +520,24 @@ class GenerationEngine:
                     except Exception as e:  # surface errors to the caller
                         req.error = e
                         req.event.set()
-            # 1b. advance ONE segment of the oldest pending admission per
-            # iteration — decode chunks (step 2) interleave between
-            # segments, bounding any stream's stall to one segment
+            # 1b. advance admission segments. While streams are DECODING,
+            # advance only ONE segment per iteration — decode chunks
+            # (step 2) interleave between segments, bounding any stream's
+            # stall to one segment. With NO active stream (cold start, or
+            # a burst of arrivals into an idle engine) there is nothing to
+            # stall: drain ALL pending admissions back-to-back so an
+            # 8-request burst starts full-batch decode immediately instead
+            # of limping through 8 interleaved 1-step chunks (measured
+            # b8 int8 engine: 973 -> see BENCHMARKS round-5 engine rows).
             _t0 = _time.perf_counter()
-            if self._pending_admissions:
+            advanced = 0
+            # idleness judged BEFORE the drain: the first admission to
+            # complete flips its slot_active, and judging mid-drain would
+            # demote the rest of the burst back to one-segment-per-loop
+            idle_burst = not any(self.slot_active)
+            while self._pending_admissions:
+                if advanced >= 1 and not idle_burst:
+                    break
                 st = self._pending_admissions[0]
                 try:
                     tok_dev = self._admit_advance(st)
@@ -539,7 +552,18 @@ class GenerationEngine:
                         slot = st["slot"]
                         cur_dev = cur_dev.at[slot].set(
                             tok_dev[0].astype(jnp.int32))
+                        # start the host copy NOW: by commit-resolve time
+                        # the transfer is done and the read is free. (A
+                        # batched jnp.concatenate read was measured WORSE
+                        # — a new device op queues BEHIND in-flight decode
+                        # chunks, so its read waits on them; the async
+                        # copy of an already-materialized array does not.)
+                        try:
+                            tok_dev.copy_to_host_async()
+                        except (AttributeError, RuntimeError):
+                            pass
                         commits.append((slot, st["req"], tok_dev))
+                advanced += 1
             active_slots = [i for i in range(self.max_batch)
                             if self.slot_active[i]]
             _t1 = _time.perf_counter()
@@ -601,6 +625,13 @@ class GenerationEngine:
                     # result processing would lag one inflight chunk and
                     # could clip valid cache entries out of the window)
                     self.slot_pos[s] += n_steps
+                # schedule the device->host copy at dispatch: it fires as
+                # soon as the chunk's results materialize, so the sync
+                # two iterations later waits on a finished transfer
+                try:
+                    emitted.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
                 handle = (emitted,
                           [(s, self.slots[s]) for s in active_slots],
                           n_steps)
@@ -608,8 +639,9 @@ class GenerationEngine:
             _t2 = _time.perf_counter()
             ph["dispatch"] += _t2 - _t1
 
-            # 3. resolve first tokens (upstream of the chunk just
-            # dispatched in the device stream — near-free to read now)
+            # 3. resolve first tokens (async host copies were started at
+            # admission in 1b, so these reads are waits on mostly-done
+            # transfers, not fresh round trips)
             for slot, req, tok_dev in commits:
                 tok = int(np.asarray(tok_dev)[0])
                 req.tokens.append(tok)
