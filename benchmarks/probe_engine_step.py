@@ -39,10 +39,11 @@ def main():
         if quant == "int8":
             from ullsam_tpu.models.internlm2.quant import quantize_llm_int8
             p = dict(params, llm=quantize_llm_int8(params["llm"]))
-        cache = LLM.init_cache(cfg.llm, B, max_len)
-        cache = LLM.KVCache(k=cache.k, v=cache.v,
-                            mask=cache.mask.at[:, :256].set(1),
-                            index=jnp.asarray(256, jnp.int32))
+        def fresh_cache():
+            c = LLM.init_cache(cfg.llm, B, max_len)
+            return LLM.KVCache(k=c.k, v=c.v,
+                               mask=c.mask.at[:, :256].set(1),
+                               index=jnp.asarray(256, jnp.int32))
         toks = jnp.full((B,), 11, jnp.int32)
         act = jnp.ones((B,), bool)
         samp = SamplingParams.from_configs([GenerationConfig()] * B,
@@ -51,16 +52,19 @@ def main():
 
         for label, kw in (("cache-carry", dict(window=False)),
                           ("window     ", dict(window=True))):
-            def run():
-                return _engine_step(p, cfg, toks, cache, act, samp, rng,
+            def run(c):
+                # thread the returned cache: _engine_step DONATES the
+                # cache buffers (serve/engine.py round-5), so the
+                # passed-in object is dead after the call
+                return _engine_step(p, cfg, toks, c, act, samp, rng,
                                     n_steps=n_steps, dynamic_sampling=False,
                                     pad_token_id=2, attend_len=attend, **kw)
-            em, c2, _ = run()
+            em, c2, _ = run(fresh_cache())
             np.asarray(em)
             t0 = time.perf_counter()
             iters = 6
             for _ in range(iters):
-                em, c2, _ = run()
+                em, c2, _ = run(c2)
             np.asarray(em)
             dt = (time.perf_counter() - t0) / iters
             rate = B * n_steps / dt

@@ -45,21 +45,22 @@ def main():
     samp = SamplingParams.from_configs([GenerationConfig()] * B, pad_to=B)
     rng = jax.random.PRNGKey(0)
 
-    def run():
-        return _engine_step(p, cfg, toks, cache, act, samp, rng,
+    def run(c):
+        # thread the returned cache: _engine_step DONATES the cache
+        return _engine_step(p, cfg, toks, c, act, samp, rng,
                             n_steps=n_steps, dynamic_sampling=False,
                             pad_token_id=2, attend_len=attend)
 
-    em, _, _ = run()
+    em, cache, _ = run(cache)
     np.asarray(em)
     out = "/tmp/trace_engine"
     with jax.profiler.trace(out):
         for _ in range(3):
-            em, _, _ = run()
+            em, cache, _ = run(cache)
         np.asarray(em)
     t0 = time.perf_counter()
     for _ in range(6):
-        em, _, _ = run()
+        em, cache, _ = run(cache)
     np.asarray(em)
     dt = (time.perf_counter() - t0) / 6
     print(f"int8 window chunk({B}x{n_steps}, attend={attend}): "

@@ -155,10 +155,13 @@ def test_engine_step_window_matches_cache_carry():
 
     args = dict(n_steps=3, dynamic_sampling=False, pad_token_id=2,
                 attend_len=16)
-    em_r, c_r, _ = _engine_step(params, cfg, toks, cache, active, samp,
-                                key, window=False, **args)
-    em_w, c_w, _ = _engine_step(params, cfg, toks, cache, active, samp,
-                                key, window=True, **args)
+    # _engine_step DONATES the cache (serve/engine.py round-5): give each
+    # variant its own copy of the same contents
+    copy_cache = lambda c: jax.tree.map(lambda a: jnp.array(a, copy=True), c)
+    em_r, c_r, _ = _engine_step(params, cfg, toks, copy_cache(cache),
+                                active, samp, key, window=False, **args)
+    em_w, c_w, _ = _engine_step(params, cfg, toks, copy_cache(cache),
+                                active, samp, key, window=True, **args)
     np.testing.assert_array_equal(np.asarray(em_r), np.asarray(em_w))
     np.testing.assert_array_equal(np.asarray(c_r.mask), np.asarray(c_w.mask))
     np.testing.assert_allclose(np.asarray(c_r.k), np.asarray(c_w.k),

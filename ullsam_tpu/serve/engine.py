@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import queue
 import threading
 from typing import List, Optional
@@ -95,10 +96,25 @@ def _splice_slot(cache: LLM.KVCache, row: LLM.KVCache, slot) -> LLM.KVCache:
         index=cache.index)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "n_steps", "dynamic_sampling",
-                                    "pad_token_id", "attend_len",
-                                    "unroll", "split_attn", "window"))
+_STEP_STATICS = ("cfg", "n_steps", "dynamic_sampling", "pad_token_id",
+                 "attend_len", "unroll", "split_attn", "window")
+# The KV cache is DONATED into the chunk dispatch (default on;
+# ULLSAM_ENGINE_DONATE=0 disables): the per-chunk trace showed two
+# full-cache copies (copy.129/130, ~3 ms each at max_len=2560 b8)
+# because the functional `cache.k.at[..].set(..)` splice cannot update
+# in place while the caller keeps the old buffer. Donating the purely
+# device-resident carry removes them — measured int8 window chunk
+# 39.1 -> 33.2 ms (1636 -> 1929 tok/s). The round-2 relay donation
+# pathology (train step 283 ms -> 14 s) was about donating HOST-synced
+# trees; it does not reproduce here. Every caller must thread the
+# RETURNED cache and never touch the donated-in object again (the
+# worker reassigns self.cache at dispatch; CPU backends ignore
+# donation, so the tests' repeated calls on one cache are safe).
+_DONATE = os.environ.get("ULLSAM_ENGINE_DONATE", "1") != "0"
+
+
+@functools.partial(jax.jit, static_argnames=_STEP_STATICS,
+                   **({"donate_argnames": ("cache",)} if _DONATE else {}))
 def _engine_step(params, cfg: FusionConfig, tokens, cache: LLM.KVCache,
                  active, samp: SamplingParams, rng,
                  n_steps: int = 1, dynamic_sampling: bool = False,

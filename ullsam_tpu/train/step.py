@@ -247,16 +247,20 @@ def train_step(trainable, frozen, opt_state, batch, cfg: FusionConfig,
 
 
 def make_train_step(cfg: FusionConfig, tcfg: TrainConfig,
-                    tx: optax.GradientTransformation, donate: bool = False):
+                    tx: optax.GradientTransformation, donate: bool = True):
     """jit-compiled train step closure.
 
     Signature: step(trainable, frozen, opt_state, batch) ->
     (trainable, opt_state, metrics).
 
-    donate defaults to False: on the axon TPU relay, buffer donation
-    forces a copy round-trip and inflates a 283 ms step to ~14 s
-    (measured). On directly-attached hosts set donate=True to halve
-    parameter memory traffic.
+    donate defaults to True (round 5): donating trainable+opt_state lets
+    XLA update parameters in place (flagship step 123.4 -> 121.5 ms
+    measured through the relay; the round-2 "283 ms -> 14 s" relay
+    donation pathology no longer reproduces — the same flip on the
+    serving KV cache removed two full-cache copies per chunk). Callers
+    MUST thread the returned (trainable, opt_state) and never reuse the
+    donated-in trees (the CLI loop does); pass donate=False to compare
+    repeated calls on one state (tests do).
     """
 
     def step(trainable, frozen, opt_state, batch):
