@@ -85,9 +85,14 @@ def _prefill_chunk(params, cfg: FusionConfig, embeds_chunk, chunk_mask,
     return out, cache_row
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _splice_slot(cache: LLM.KVCache, row: LLM.KVCache, slot) -> LLM.KVCache:
-    """Install a prefilled single-row cache into shared slot `slot`."""
+    """Install a prefilled single-row cache into shared slot `slot`.
+
+    The shared cache is donated (in-place row install): without it every
+    admission paid a full-cache copy (~6 ms at b8 ml2560) on top of the
+    one the decode chunk paid before it too was donated. The worker
+    reassigns self.cache from the return value at the call site."""
     return LLM.KVCache(
         k=jax.lax.dynamic_update_slice_in_dim(cache.k, row.k, slot, axis=1),
         v=jax.lax.dynamic_update_slice_in_dim(cache.v, row.v, slot, axis=1),
