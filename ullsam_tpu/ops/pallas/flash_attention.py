@@ -1061,6 +1061,48 @@ def _vit_window_kernel(qkvp_ref, rhf_ref, rwf_ref, o_ref,
             preferred_element_type=f32).astype(o_ref.dtype)
 
 
+def _vit_window_kernel_twophase(qkvp_ref, rhf_ref, rwf_ref, o_ref, l_scr,
+                                *, kh: int, kw: int, nh: int,
+                                scale: float):
+    """Two-phase variant (ULLSAM_WINDOW_TWOPHASE=1): all heads'
+    logits+bias land in a VMEM scratch first (back-to-back MXU work with
+    no softmax in between), then a second pass does softmax+pv.
+
+    MEASURED DEAD END (round 5, stays opt-in): 0.80 vs 0.70-0.74
+    ms/layer for the baseline at ViT-H window shapes — the scratch
+    round-trip costs more than any scheduling gain, i.e. Mosaic already
+    overlaps MXU/VPU across the unrolled head loop and the baseline
+    kernel is NOT bound by the per-head dependency chain (the same
+    conclusion as the selector-fusion A/B: encode-neutral)."""
+    n = kh * kw
+    f32 = jnp.float32
+    MH, MW, TH, TW = _window_selectors(kh, kw)
+    HP = _HP
+    qkvp = qkvp_ref[0]
+    cdt = qkvp.dtype
+    for h in range(nh):
+        q = qkvp[:, h * HP:(h + 1) * HP]
+        k = qkvp[:, (nh + h) * HP:(nh + h + 1) * HP]
+        gh = jax.lax.dot_general(q, rhf_ref[:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+        gw = jax.lax.dot_general(q, rwf_ref[:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+        bias = (_bias_select(jnp.where(MH, gh, 0.0), TH, cdt)
+                + _bias_select(jnp.where(MW, gw, 0.0), TW, cdt))
+        l_scr[h * n:(h + 1) * n, :] = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32) * scale + bias
+    for h in range(nh):
+        v = qkvp[:, (2 * nh + h) * HP:(2 * nh + h + 1) * HP]
+        logits = l_scr[h * n:(h + 1) * n, :]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
+        o_ref[0, :, h * HP:(h + 1) * HP] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(o_ref.dtype)
+
+
 def _window_packed_xla(qkvp, rhf, rwf, nh, hd, kh, kw):
     """Reference math on the packed layout (backward pass + tests).
 
@@ -1117,6 +1159,23 @@ def vit_window_attention_packed(qkvp: Array, rhf: Array, rwf: Array,
     # over a kh*kh table) is only correct for square windows; fail loudly
     # rather than silently corrupting the bias (ADVICE r2).
     assert kh == kw, f"packed window kernel requires square windows, got {kh}x{kw}"
+    if _os.environ.get("ULLSAM_WINDOW_TWOPHASE", "0") == "1":
+        kernel = functools.partial(_vit_window_kernel_twophase, kh=kh,
+                                   kw=kw, nh=nh, scale=hd ** -0.5)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, N, 3 * nh * _HP), lambda w: (w, 0, 0)),
+                pl.BlockSpec((_HP, kh * kh), lambda w: (0, 0)),
+                pl.BlockSpec((_HP, kw * kw), lambda w: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, N, nh * _HP), lambda w: (w, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, N, nh * _HP), qkvp.dtype),
+            scratch_shapes=[pltpu.VMEM((nh * N, N), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(qkvp, rhf.astype(qkvp.dtype), rwf.astype(qkvp.dtype))
     kernel = functools.partial(_vit_window_kernel, kh=kh, kw=kw, nh=nh,
                                scale=hd ** -0.5)
     return pl.pallas_call(
